@@ -1,0 +1,217 @@
+"""Configuration system.
+
+TPU-native re-design of the reference's global ``FLAGS`` EasyDict
+(reference: configs.py:11-106).  Every knob of the reference is preserved,
+including the derived fields (box_num, box_len, head_channel_nums,
+head_grid_sizes, the auto-built run tag ``type`` — configs.py:43-48,73-78),
+but expressed as an immutable dataclass so that configs hash cleanly and can
+be closed over by jit-compiled functions.
+
+The piecewise learning-rate schedule mirrors ``lr_func`` (configs.py:23-27).
+"""
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import os
+from typing import Sequence, Tuple
+
+import numpy as np
+
+# Backbone names (reference: yolov3/yolov3_detector.py:19-23)
+BACKBONE_RESNET_18 = "resnet-18"
+BACKBONE_RESNET_18_V2 = "resnet-18-v2"
+BACKBONE_RESNEXT_18 = "resnext-18"
+BACKBONE_MIXNET_18 = "mixnet-18"
+BACKBONE_MOBILENET_V2 = "mobilenet-v2"
+ALL_BACKBONES = (
+    BACKBONE_RESNET_18,
+    BACKBONE_RESNET_18_V2,
+    BACKBONE_RESNEXT_18,
+    BACKBONE_MIXNET_18,
+    BACKBONE_MOBILENET_V2,
+)
+
+# Default anchors, [W, H] normalized, per head /8, /16, /32
+# (reference: configs.py:37-41).  Note the heads may have DIFFERENT numbers
+# of anchors (3/2/3 by default) — nothing below hardcodes B=3.
+DEFAULT_ANCHOR_BOXES = (
+    (
+        (0.06618181818181816, 0.1025177510694752),
+        (0.18544278606965178, 0.13160367921287464),
+        (0.13, 0.32733333333333337),
+    ),
+    (
+        (0.13, 0.32733333333333337),
+        (0.303806787732042, 0.34370030784316496),
+    ),
+    (
+        (0.303806787732042, 0.34370030784316496),
+        (0.4667050847457627, 0.5281262429095761),
+        (0.7906945888923907, 0.7888860433597275),
+    ),
+)
+
+# Per-head loss-term weights [coord_xy, coord_wh, noobj, obj, cls]
+# (reference: configs.py:52).
+DEFAULT_LOSS_WEIGHTS = (
+    (5.0, 5.0, 0.05, 3.0, 1.0),
+    (8.0, 8.0, 0.05, 2.0, 1.0),
+    (10.0, 10.0, 0.05, 2.0, 1.0),
+)
+
+STRIDES = (8, 16, 32)
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """All training / inference knobs.  Mirrors reference configs.py FLAGS."""
+
+    # --- dataset (configs.py:31-34) ---
+    train_set_dir: str = "dataset/test_sample/images"
+    train_label_path: str = "dataset/test_sample/label.txt"
+    test_set_dir: str = "dataset/test_sample/images"
+    test_label_path: str = "dataset/test_sample/label.txt"
+
+    # --- model geometry (configs.py:36-49) ---
+    input_image_size: Tuple[int, int, int] = (384, 480, 3)  # [H, W, C]
+    anchor_boxes: Tuple[Tuple[Tuple[float, float], ...], ...] = DEFAULT_ANCHOR_BOXES
+    class_num: int = 0
+    # Static max number of objects per image; labels are padded with -1 to this
+    # length so every shape under jit is static (the reference pads dynamically
+    # per batch at dataset/file_util.py:97 — a static bound is the XLA-friendly
+    # equivalent).
+    max_boxes: int = 32
+
+    # --- loss (configs.py:50-59) ---
+    iou_thresh: float = 0.8
+    loss_weights: Tuple[Tuple[float, float, float, float, float], ...] = DEFAULT_LOSS_WEIGHTS
+    rectified_coord_num: int = 1464
+    rectified_loss_weight: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+
+    # --- training (configs.py:54-61, 63-72, 80-87) ---
+    train_set_size: int = 20
+    val_set_size: int = 20
+    batch_size: int = 3
+    epoch: int = 300
+    init_lr: float = 0.0002
+    mode: str = "train"  # train, test, predict, save_pb, save_serving
+    model_backbone: str = BACKBONE_RESNET_18
+    optimizer: str = "radam"  # sgdm, adam, radam
+    is_augment: bool = True
+    is_label_smoothing: bool = False
+    is_focal_loss: bool = False
+    focal_alpha: float = 1.0
+    focal_gamma: float = 2.0
+    is_gradient_harmonized: bool = False
+    is_tiou_recall: bool = False
+
+    # piecewise LR schedule (configs.py:14-20)
+    step_epoch: Tuple[int, ...] = (20, 60, 80, 220, 260, 280, 300)
+    step_lr: Tuple[float, ...] = (
+        0.01e-3, 1.0e-3, 0.1e-3, 1.0e-3, 0.1e-3, 0.01e-3, 0.001e-3)
+
+    # --- callbacks / checkpointing (configs.py:84-96) ---
+    ckpt_period: int = 50
+    stop_patience: int = 500
+    stop_min_delta: float = 1e-4
+    ckpt_max_keep: int = 3
+    root_path: str = ""
+    log_dir: str = "logs"
+
+    # --- test / predict (configs.py:99-102) ---
+    confidence_thresh: float = 0.8
+    nms_thresh: float = 0.4
+    save_path: str = "dataset/test_result/"
+    image_root_path: str | None = None
+    max_detections: int = 128  # static NMS output size (device NMS)
+
+    # --- devices: TPU-native replacement for gpu_mode/gpu_num/visible_gpu
+    # (configs.py:104-106).  num_devices<=0 means "all available".
+    num_devices: int = 0
+    data_axis: str = "data"
+    model_axis: str = "model"
+
+    # --- numerics ---
+    # keras.backend.set_epsilon(1e-8) (reference run.py:26)
+    epsilon: float = 1e-8
+    # bfloat16 compute on the conv path (fp32 master params); the reference is
+    # fp32-only — bf16 is the TPU-native choice for the MXU.
+    compute_dtype: str = "bfloat16"
+
+    # ------------------------------------------------------------------ #
+    # Derived fields (reference configs.py:43-49,73-79)
+    # ------------------------------------------------------------------ #
+    @property
+    def box_num(self) -> Tuple[int, ...]:
+        return tuple(len(a) for a in self.anchor_boxes)
+
+    @property
+    def box_len(self) -> int:
+        return 4 + 1 + self.class_num
+
+    @property
+    def head_channel_nums(self) -> Tuple[int, ...]:
+        return tuple(b * self.box_len for b in self.box_num)
+
+    @property
+    def head_grid_sizes(self) -> Tuple[Tuple[int, int], ...]:
+        h, w = self.input_image_size[0], self.input_image_size[1]
+        return tuple((h // s, w // s) for s in STRIDES)
+
+    @property
+    def head_names(self) -> Tuple[str, ...]:
+        return ("yolov3_head_8", "yolov3_head_16", "yolov3_head_32")
+
+    @property
+    def type(self) -> str:
+        tag = f"{self.model_backbone}-{self.optimizer}"
+        tag += "-aug" if self.is_augment else ""
+        tag += "-smooth" if self.is_label_smoothing else ""
+        tag += "-focal" if self.is_focal_loss else ""
+        tag += "-ghm" if self.is_gradient_harmonized else ""
+        tag += "-TIOU" if self.is_tiou_recall else ""
+        return tag
+
+    @property
+    def log_path(self) -> str:
+        return os.path.join(self.log_dir, f"log-{self.type}.txt")
+
+    @property
+    def tensorboard_dir(self) -> str:
+        stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+        return os.path.join(self.root_path, "logs", f"lpr-{self.type}-{stamp}")
+
+    @property
+    def checkpoint_path(self) -> str:
+        return os.path.join(self.root_path, "models", self.type)
+
+    @property
+    def serving_model_dir(self) -> str:
+        return os.path.join(self.root_path, "models", "serving")
+
+    @property
+    def pb_model_dir(self) -> str:
+        return os.path.join(self.root_path, "models", "pb")
+
+    @property
+    def steps_per_epoch(self) -> int:
+        return int(np.ceil(self.train_set_size / self.batch_size))
+
+    @property
+    def validation_steps(self) -> int:
+        return int(np.ceil(self.val_set_size / self.batch_size))
+
+    def lr_func(self, epoch: int) -> float:
+        """Piecewise-constant LR by epoch (reference configs.py:23-27)."""
+        i = 0
+        while i < len(self.step_epoch) and epoch > self.step_epoch[i]:
+            i += 1
+        return self.step_lr[min(i, len(self.step_lr) - 1)]
+
+    def replace(self, **kwargs) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+
+def default_config() -> Config:
+    return Config()
