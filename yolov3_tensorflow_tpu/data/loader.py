@@ -1,0 +1,191 @@
+"""Host-side data pipeline.
+
+TPU-native re-design of the reference's tf.data input path
+(dataset/file_util.py:14-114): a NumPy/PIL loader feeding the device via a
+background prefetch thread.  Photometric augmentation is NOT done here — it
+runs on-device inside the jitted train step (see data/augment.py), which is
+both faster (VPU) and keeps the single host core free for JPEG decode.
+
+Behavioural parity:
+  * label.txt line format ``image_name cx cy w h class ...`` with normalized
+    cxcywh (file_util.py:22-32, 63-76)
+  * aspect-preserving letterbox resize to (H, W) with NEAREST, centred pad
+    (file_util.py:54-55, matching tf.image.resize_image_with_pad's
+    floor-based geometry)
+  * matching label transform xy*ratio + (1-ratio)/2, wh*ratio
+    (file_util.py:47-52)
+  * float32 [0,1] conversion then RGB->BGR channel reversal
+    (file_util.py:58-59) — BGR is the network's channel order
+  * labels padded with -1 (file_util.py:95-97) — here to the static
+    ``max_boxes`` length so shapes under jit are static
+  * test mode additionally yields image paths (file_util.py:99-104)
+"""
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, List, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from ..config import Config
+
+
+class Example(NamedTuple):
+    path: str
+    labels: np.ndarray  # (K, 5) normalized [cx, cy, w, h, class]
+
+
+class Batch(NamedTuple):
+    images: np.ndarray  # (N, H, W, 3) float32 BGR in [0, 1]
+    labels: np.ndarray  # (N, max_boxes, 5) float32, -1 padded
+    paths: Optional[Tuple[str, ...]] = None
+
+
+def parse_label_file(file_path: str, root_path: str) -> List[Example]:
+    """Parse the label txt (file_util.py:22-32).  Lines with no boxes are
+    kept with an empty (0, 5) label array."""
+    examples = []
+    with open(file_path, "r") as f:
+        for line in f:
+            parts = line.strip().split(" ")
+            if not parts or not parts[0]:
+                continue
+            vals = np.asarray([float(v) for v in parts[1:]], np.float32)
+            labels = vals.reshape(-1, 5) if vals.size else np.zeros(
+                (0, 5), np.float32)
+            examples.append(Example(os.path.join(root_path, parts[0]),
+                                    labels))
+    return examples
+
+
+def letterbox_geometry(src_hw: Tuple[int, int],
+                       dst_hw: Tuple[int, int]):
+    """Replicate tf.image.resize_image_with_pad geometry: scale by the
+    limiting axis (floor to int), centre with floor-divided padding."""
+    sh, sw = src_hw
+    dh, dw = dst_hw
+    ratio = min(dh / sh, dw / sw)
+    rh, rw = int(np.floor(sh * ratio)), int(np.floor(sw * ratio))
+    pt, pl = (dh - rh) // 2, (dw - rw) // 2
+    return (rh, rw), (pt, pl)
+
+
+def transform_labels(labels: np.ndarray, src_hw, dst_hw) -> np.ndarray:
+    """Label geometry for the letterbox (file_util.py:47-52):
+    ratio_wh = (src/dst per axis) / max(...); xy*r + (1-r)/2; wh*r."""
+    if labels.size == 0:
+        return labels
+    src_over_dst = np.array([src_hw[0] / dst_hw[0], src_hw[1] / dst_hw[1]],
+                            np.float32)  # [h, w]
+    ratio_wh = src_over_dst[::-1] / src_over_dst.max()  # [w, h]
+    out = labels.copy()
+    out[:, 0:2] = labels[:, 0:2] * ratio_wh + (1.0 - ratio_wh) / 2.0
+    out[:, 2:4] = labels[:, 2:4] * ratio_wh
+    return out
+
+
+def load_image(path: str, dst_hw: Tuple[int, int]) -> np.ndarray:
+    """JPEG decode -> NEAREST letterbox -> float32 [0,1] -> BGR
+    (file_util.py:44-59)."""
+    img = Image.open(path).convert("RGB")
+    sw, sh = img.size
+    (rh, rw), (pt, pl) = letterbox_geometry((sh, sw), dst_hw)
+    img = img.resize((rw, rh), Image.NEAREST)
+    canvas = np.zeros((dst_hw[0], dst_hw[1], 3), np.uint8)
+    canvas[pt:pt + rh, pl:pl + rw] = np.asarray(img, np.uint8)
+    out = canvas.astype(np.float32) / 255.0
+    return out[..., ::-1].copy()  # RGB -> BGR
+
+
+def pad_labels(labels: np.ndarray, max_boxes: int) -> np.ndarray:
+    """-1 padding to a static length (file_util.py:97, made static)."""
+    out = -np.ones((max_boxes, 5), np.float32)
+    k = min(len(labels), max_boxes)
+    if k:
+        out[:k] = labels[:k]
+    return out
+
+
+class Dataset:
+    """Shuffling, repeating, prefetching batch iterator.
+
+    Equivalent of FileUtil.get_dataset (file_util.py:63-114).  Decoded
+    letterboxed images are cached in RAM (``cache=True``, right-sized for
+    the bundled 20-image sample and small sets; disable for large corpora).
+    """
+
+    def __init__(self, cfg: Config, label_path: str, root_path: str,
+                 is_test: bool = False, cache: bool = True,
+                 shuffle: bool = True, seed: int = 6):
+        self.cfg = cfg
+        self.examples = parse_label_file(label_path, root_path)
+        if not self.examples:
+            raise ValueError(f"no examples parsed from {label_path}")
+        self.dst_hw = (cfg.input_image_size[0], cfg.input_image_size[1])
+        self.is_test = is_test
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        self._cache = {} if cache else None
+        # transformed labels are deterministic per example: precompute
+        self._labels = []
+        for ex in self.examples:
+            with Image.open(ex.path) as im:
+                sw, sh = im.size
+            t = transform_labels(ex.labels, (sh, sw), self.dst_hw)
+            self._labels.append(pad_labels(t, cfg.max_boxes))
+
+    def __len__(self):
+        return len(self.examples)
+
+    def _image(self, idx: int) -> np.ndarray:
+        if self._cache is not None and idx in self._cache:
+            return self._cache[idx]
+        img = load_image(self.examples[idx].path, self.dst_hw)
+        if self._cache is not None:
+            self._cache[idx] = img
+        return img
+
+    def batches(self, batch_size: Optional[int] = None,
+                repeat: bool = True) -> Iterator[Batch]:
+        bs = batch_size or self.cfg.batch_size
+        n = len(self.examples)
+        order = np.arange(n)
+        while True:
+            if self.shuffle:
+                self.rng.shuffle(order)
+            for start in range(0, n, bs):
+                idx = order[start:start + bs]
+                if len(idx) < bs:  # wrap to keep shapes static
+                    idx = np.concatenate([idx, order[:bs - len(idx)]])
+                images = np.stack([self._image(i) for i in idx])
+                labels = np.stack([self._labels[i] for i in idx])
+                paths = tuple(self.examples[i].path for i in idx) \
+                    if self.is_test else None
+                yield Batch(images, labels, paths)
+            if not repeat:
+                return
+
+    def prefetch(self, batch_size: Optional[int] = None, repeat: bool = True,
+                 depth: int = 2) -> Iterator[Batch]:
+        """Background-thread prefetch (the tf.data prefetch(AUTOTUNE)
+        analog, file_util.py:113)."""
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        stop = object()
+
+        def worker():
+            try:
+                for b in self.batches(batch_size, repeat):
+                    q.put(b)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            yield item

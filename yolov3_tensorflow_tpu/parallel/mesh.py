@@ -1,0 +1,50 @@
+"""Device mesh + sharding layer.
+
+The reference's only parallelism is in-graph Keras data parallelism —
+``keras.utils.multi_gpu_model(model, gpus=FLAGS.gpu_num)``
+(yolov3/trainer.py:40-43) with gpu knobs at configs.py:104-106 and a
+multi->single weight-conversion utility (trainer.py:126-138).
+
+TPU-native equivalent: a ``jax.sharding.Mesh`` with a ``data`` axis; the
+jitted train step takes the batch sharded over ``data`` and replicated
+params, and XLA inserts the gradient all-reduce over ICI (DCN across
+slices).  No multi->single conversion exists because parameters are
+replicated and checkpoints are device-count-agnostic.
+
+A ``model`` axis is plumbed through (size 1 by default) so tensor-style
+sharding can be grown into without re-threading the mesh.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Config
+
+
+def make_mesh(num_devices: int = 0, data_axis: str = "data",
+              model_axis: str = "model",
+              devices=None) -> Mesh:
+    """Build an (data, model) mesh.  num_devices<=0 -> all devices."""
+    devs = list(devices if devices is not None else jax.devices())
+    if num_devices and num_devices > 0:
+        devs = devs[:num_devices]
+    arr = np.asarray(devs).reshape(len(devs), 1)
+    return Mesh(arr, (data_axis, model_axis))
+
+
+def mesh_from_config(cfg: Config, devices=None) -> Mesh:
+    return make_mesh(cfg.num_devices, cfg.data_axis, cfg.model_axis,
+                     devices)
+
+
+def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
+    """Leading (batch) dim sharded over the data axis."""
+    return NamedSharding(mesh, P(data_axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

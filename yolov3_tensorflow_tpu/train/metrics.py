@@ -1,0 +1,104 @@
+"""Observability: per-epoch detailed loss logging + TensorBoard.
+
+Replaces the reference's mutable-variable contract between the loss and two
+Keras callbacks (yolov3_loss.py:71-79 <-> utils/logger_callback.py:41-47 <->
+utils/board_callback.py:55-61): our loss returns the breakdown dict
+functionally, and these writers just consume it — no variable scopes, no
+extra device round-trips per epoch.
+
+* ``log_epoch`` reproduces DetailLossLogger's per-epoch record
+  (logger_callback.py:87-140): lr, total loss, kernel/gamma regularizer
+  sums, and the 6 sub-losses x 3 heads.
+* ``TensorBoardWriter`` reproduces MyTensorBoard (board_callback.py:12-148):
+  every sub-loss scalar written under its OWN writer subdirectory with the
+  same tag ``loss`` so TensorBoard overlays them in one chart, plus a
+  histogram of all BN gammas concatenated (channel-pruning insight) and the
+  learning rate.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+HEAD_TAGS = ("head_8", "head_16", "head_32")
+LOSS_KEYS = ("rectified_coord_loss", "coord_loss_xy", "coord_loss_wh",
+             "noobj_iou_loss", "obj_iou_loss", "class_loss")
+
+
+def log_epoch(epoch: int, lr: float, total_loss: float, kernel_reg: float,
+              gamma_reg: float, breakdown: Dict[str, np.ndarray],
+              seconds: float):
+    """DetailLossLogger-format epoch record (logger_callback.py:87-140)."""
+    logging.info("Epoch %d (%.2fs): lr=%.6g loss=%.5f "
+                 "kernel_reg=%.5f gamma_reg=%.5f",
+                 epoch, seconds, lr, total_loss, kernel_reg, gamma_reg)
+    for key in LOSS_KEYS:
+        vals = np.asarray(breakdown[key])
+        logging.info("  %s: %s", key,
+                     " ".join(f"{t}={v:.5f}"
+                              for t, v in zip(HEAD_TAGS, vals)))
+
+
+class TensorBoardWriter:
+    """Sub-loss overlay + gamma histogram TB writer (board_callback parity).
+    Degrades to a no-op when tensorflow isn't importable."""
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        self._writers = {}
+        try:
+            import tensorflow as tf  # noqa: F811
+            self._tf = tf
+            self._main = tf.summary.create_file_writer(log_dir)
+        except Exception:  # pragma: no cover - env without TF
+            self._tf = None
+            self._main = None
+
+    def _writer(self, name: str):
+        if name not in self._writers:
+            self._writers[name] = self._tf.summary.create_file_writer(
+                f"{self.log_dir}/{name}")
+        return self._writers[name]
+
+    def write_epoch(self, epoch: int, lr: float, total_loss: float,
+                    breakdown: Dict[str, np.ndarray],
+                    params: Optional[dict] = None):
+        if self._tf is None:
+            return
+        tf = self._tf
+        # each sub-loss in its own subdir, same tag -> TB overlays
+        # (board_callback.py:43-50, 91-104)
+        for key in LOSS_KEYS:
+            vals = np.asarray(breakdown[key])
+            for tag, v in zip(HEAD_TAGS, vals):
+                with self._writer(f"{key}/{tag}").as_default():
+                    tf.summary.scalar("loss", float(v), step=epoch)
+        with self._writer("total").as_default():
+            tf.summary.scalar("loss", float(total_loss), step=epoch)
+        with self._main.as_default():
+            tf.summary.scalar("learning_rate", float(lr), step=epoch)
+            if params is not None:
+                gammas = gamma_vector(params)
+                if gammas.size:
+                    tf.summary.histogram("bn_gamma", gammas, step=epoch)
+
+    def close(self):
+        if self._tf is None:
+            return
+        for w in self._writers.values():
+            w.close()
+        self._main.close()
+
+
+def gamma_vector(params) -> np.ndarray:
+    """All BN gamma vectors concatenated (board_callback.py:72-80)."""
+    out = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        keys = [getattr(p, "key", str(p)) for p in path]
+        if keys and keys[-1] == "scale":
+            out.append(np.asarray(leaf).ravel())
+    return np.concatenate(out) if out else np.zeros((0,), np.float32)

@@ -1,0 +1,104 @@
+"""Optimizers (reference: yolov3/trainer.py:69-75 and utils/radam.py:13-119).
+
+The reference offers SGDM (momentum .95, nesterov), Adam with AMSGrad, and
+a hand-written RAdam.  Here they are optax transformations; RAdam is
+reimplemented from the reference's math (not optax.radam, whose warmup
+fallback differs):
+
+  rho_inf = 2/(1-b2) - 1                                (radam.py:54)
+  rho_t   = rho_inf - 2 t b2^t / (1 - b2^t)             (radam.py:79)
+  rho_t >= 5:  step = r_t * sqrt(1-b2^t)/(1-b1^t) * m_t/(sqrt(v_t)+eps)
+     with r_t = sqrt((rho_t-4)(rho_t-2)rho_inf /
+                     ((rho_inf-4)(rho_inf-2) rho_t))    (radam.py:81-84)
+  else:        step = warmup_coef/(1-b1^t) * m_t        (radam.py:85)
+  amsgrad uses vhat = max(vhat, v_t)                    (radam.py:91-94)
+
+eps defaults to the Keras epsilon the reference sets to 1e-8 (run.py:26).
+The learning rate is applied by the epoch-piecewise schedule (see
+schedule.py) for every optimizer, matching the effective reference
+trajectory.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from .schedule import piecewise_epoch_schedule
+
+
+class ScaleByRAdamState(NamedTuple):
+    count: chex.Array
+    mu: optax.Updates
+    nu: optax.Updates
+    nu_hat: optax.Updates
+
+
+def scale_by_radam(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+                   amsgrad: bool = False,
+                   warmup_coef: float = 1.0) -> optax.GradientTransformation:
+    """Rectified Adam step direction (to be scaled by -lr)."""
+    rho_inf = 2.0 / (1.0 - b2) - 1.0
+
+    def init_fn(params):
+        zeros = lambda: jax.tree.map(jnp.zeros_like, params)
+        return ScaleByRAdamState(count=jnp.zeros([], jnp.int32),
+                                 mu=zeros(), nu=zeros(),
+                                 nu_hat=zeros() if amsgrad else None)
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                          state.mu, updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * jnp.square(g),
+                          state.nu, updates)
+        b1t = jnp.power(b1, t)
+        b2t = jnp.power(b2, t)
+        rho_t = rho_inf - 2.0 * t * b2t / (1.0 - b2t)
+        rect = jnp.sqrt((rho_t - 4.0) * (rho_t - 2.0) * rho_inf /
+                        ((rho_inf - 4.0) * (rho_inf - 2.0)
+                         * jnp.maximum(rho_t, 1e-12)))
+        adaptive = rho_t >= 5.0
+        var_coef = jnp.where(adaptive,
+                             rect * jnp.sqrt(1.0 - b2t) / (1.0 - b1t),
+                             warmup_coef / (1.0 - b1t))
+        if amsgrad:
+            nu_hat = jax.tree.map(jnp.maximum, state.nu_hat, nu)
+            denom_tree = nu_hat
+        else:
+            nu_hat = None
+            denom_tree = nu
+        new_updates = jax.tree.map(
+            lambda m, v: var_coef * jnp.where(
+                adaptive, m / (jnp.sqrt(v) + eps), m),
+            mu, denom_tree)
+        return new_updates, ScaleByRAdamState(count, mu, nu, nu_hat)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(cfg: Config,
+                   steps_per_epoch: Optional[int] = None):
+    """Build (tx, schedule_fn) for the configured optimizer
+    (trainer.py:70-75)."""
+    schedule = piecewise_epoch_schedule(
+        cfg.step_epoch, cfg.step_lr,
+        steps_per_epoch or cfg.steps_per_epoch)
+    name = cfg.optimizer
+    if name == "sgdm":
+        core = optax.trace(decay=0.95, nesterov=True)
+    elif name == "adam":
+        core = optax.scale_by_amsgrad(b1=0.9, b2=0.999, eps=cfg.epsilon)
+    elif name == "radam":
+        core = scale_by_radam(eps=cfg.epsilon)
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
+    tx = optax.chain(core, optax.scale_by_schedule(
+        lambda step: -schedule(step)))
+    return tx, schedule
