@@ -1,0 +1,188 @@
+"""CLI entry point (reference: run.py:31-185).
+
+Dispatches on mode: train, test, predict, save_pb, save_serving.  Unlike
+the reference (which requires editing configs.py, README.md:42), every
+Config knob can be overridden from the command line.
+
+Additions over the reference:
+  * in-repo mAP@0.5 report in test mode (the reference leaves mAP to the
+    external Cartucho/mAP tool, run.py:78-79)
+  * --devices to size the data-parallel mesh (replaces gpu_num/visible_gpu)
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import logging
+import os
+
+import numpy as np
+
+
+def build_config(args) -> "Config":
+    from yolov3_tensorflow_tpu.config import Config
+    cfg = Config()
+    overrides = {}
+    for field in ("mode", "model_backbone", "optimizer", "train_label_path",
+                  "train_set_dir", "test_label_path", "test_set_dir",
+                  "save_path", "image_root_path"):
+        v = getattr(args, field, None)
+        if v is not None:
+            overrides[field] = v
+    for field in ("batch_size", "epoch", "class_num", "max_boxes",
+                  "rectified_coord_num", "num_devices"):
+        v = getattr(args, field, None)
+        if v is not None:
+            overrides[field] = v
+    for field in ("confidence_thresh", "nms_thresh", "init_lr"):
+        v = getattr(args, field, None)
+        if v is not None:
+            overrides[field] = v
+    if args.input_size:
+        h, w = (int(x) for x in args.input_size.split("x"))
+        overrides["input_image_size"] = (h, w, 3)
+    if args.no_augment:
+        overrides["is_augment"] = False
+    if args.focal_loss:
+        overrides["is_focal_loss"] = True
+    if args.tiou_recall:
+        overrides["is_tiou_recall"] = True
+    return cfg.replace(**overrides)
+
+
+def train(cfg, trainer):
+    """(run.py:31-38)"""
+    from yolov3_tensorflow_tpu.data.loader import Dataset
+    logging.info("loading train set: %s", cfg.train_label_path)
+    ds = Dataset(cfg, cfg.train_label_path, cfg.train_set_dir)
+    trainer.train(ds.prefetch())
+    logging.info("training done")
+
+
+def test(cfg, trainer):
+    """Batch evaluation + visualization + in-repo mAP (run.py:41-80)."""
+    from yolov3_tensorflow_tpu.data.loader import Dataset
+    from yolov3_tensorflow_tpu.infer.evaluator import (
+        detections_to_eval_format, evaluate_map, labels_to_eval_format)
+    from yolov3_tensorflow_tpu.infer.postprocess import (
+        YOLOv3PostProcessor, resize_boxes, visualize)
+
+    ds = Dataset(cfg, cfg.test_label_path, cfg.test_set_dir, is_test=True,
+                 shuffle=False)
+    post = YOLOv3PostProcessor(cfg)
+    input_box_size = np.array([cfg.input_image_size[1],
+                               cfg.input_image_size[0]] * 2, np.float64)
+    all_dets, all_gts = [], []
+    if cfg.save_path:
+        os.makedirs(cfg.save_path, exist_ok=True)
+    for batch in ds.batches(repeat=False):
+        heads = trainer.predict(batch.images)
+        per_image = post.process(heads)
+        for img, labels, path, head_boxes in zip(
+                batch.images, batch.labels, batch.paths, per_image):
+            in_boxes = resize_boxes(head_boxes, input_box_size)
+            if cfg.save_path:
+                out = os.path.join(cfg.save_path, os.path.basename(path))
+                visualize(img, in_boxes, input_box_size, out)
+            all_dets.append(detections_to_eval_format(in_boxes))
+            gts = labels_to_eval_format(
+                labels, (cfg.input_image_size[1], cfg.input_image_size[0]))
+            if cfg.class_num == 0 and len(gts):
+                gts[:, 4] = 0.0  # single-class mode: all objects class 0
+            all_gts.append(gts)
+    report = evaluate_map(all_dets, all_gts)
+    logging.info("mAP@0.5 = %.4f (per-class: %s)", report["mAP"],
+                 report["per_class"])
+    return report
+
+
+def predict(cfg, trainer):
+    """Single-image prediction over a directory (run.py:83-120)."""
+    from yolov3_tensorflow_tpu.data.loader import load_image
+    from yolov3_tensorflow_tpu.infer.postprocess import (
+        YOLOv3PostProcessor, resize_boxes, visualize)
+
+    if not cfg.image_root_path or not os.path.isdir(cfg.image_root_path):
+        raise ValueError("image_root_path missing or not a directory")
+    os.makedirs(cfg.save_path, exist_ok=True)
+    post = YOLOv3PostProcessor(cfg)
+    dst_hw = (cfg.input_image_size[0], cfg.input_image_size[1])
+    input_box_size = np.array([dst_hw[1], dst_hw[0]] * 2, np.float64)
+    paths = sorted(glob.glob(os.path.join(cfg.image_root_path, "*.jpg")))
+    for path in paths:
+        img = load_image(path, dst_hw)
+        heads = trainer.predict(img[None])
+        head_boxes = post.process(heads)[0]
+        in_boxes = resize_boxes(head_boxes, input_box_size)
+        out = os.path.join(cfg.save_path, os.path.basename(path))
+        visualize(img, in_boxes, input_box_size, out)
+        logging.info("predicted %s -> %s", path, out)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="TPU-native YOLOv3")
+    p.add_argument("--mode", default=None,
+                   choices=["train", "test", "predict", "save_pb",
+                            "save_serving"])
+    p.add_argument("--model_backbone", default=None)
+    p.add_argument("--optimizer", default=None)
+    p.add_argument("--train_label_path", default=None)
+    p.add_argument("--train_set_dir", default=None)
+    p.add_argument("--test_label_path", default=None)
+    p.add_argument("--test_set_dir", default=None)
+    p.add_argument("--save_path", default=None)
+    p.add_argument("--image_root_path", default=None)
+    p.add_argument("--input_size", default=None, help="HxW, e.g. 384x480")
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--epoch", type=int, default=None)
+    p.add_argument("--class_num", type=int, default=None)
+    p.add_argument("--max_boxes", type=int, default=None)
+    p.add_argument("--rectified_coord_num", type=int, default=None)
+    p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--confidence_thresh", type=float, default=None)
+    p.add_argument("--nms_thresh", type=float, default=None)
+    p.add_argument("--init_lr", type=float, default=None)
+    p.add_argument("--no_augment", action="store_true")
+    p.add_argument("--focal_loss", action="store_true")
+    p.add_argument("--tiou_recall", action="store_true")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend")
+    p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--tensorboard", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    cfg = build_config(args)
+    from yolov3_tensorflow_tpu.train.trainer import YOLOv3Trainer
+    from yolov3_tensorflow_tpu.utils.logger import generate_logger
+
+    generate_logger(cfg.log_path)
+    import jax
+    logging.info("jax %s devices=%s", jax.__version__, jax.devices())
+
+    trainer = YOLOv3Trainer(cfg, enable_tensorboard=args.tensorboard,
+                            checkpoint_dir=args.checkpoint_dir)
+    if cfg.mode == "train":
+        train(cfg, trainer)
+    elif cfg.mode == "test":
+        test(cfg, trainer)
+    elif cfg.mode == "predict":
+        predict(cfg, trainer)
+    elif cfg.mode == "save_pb":
+        from yolov3_tensorflow_tpu.infer.export import save_frozen
+        out = save_frozen(trainer, os.path.join(cfg.pb_model_dir,
+                                                cfg.type + ".stablehlo"))
+        logging.info("frozen model saved: %s", out)
+    elif cfg.mode == "save_serving":
+        from yolov3_tensorflow_tpu.infer.export import save_serving
+        out = save_serving(trainer, cfg.serving_model_dir)
+        logging.info("serving model saved: %s", out)
+    else:
+        raise ValueError("Mode Error!")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""In-repo mAP@0.5 evaluation.
+
+The reference computes NO metric in-repo — mAP is explicitly delegated to
+the external Cartucho/mAP tool (run.py:78-79, README.md:137).  This module
+makes it first-class: PASCAL-VOC-style per-class average precision with
+all-point interpolation (the Cartucho default), greedy matching of
+score-ranked detections to ground truth at IOU >= iou_thresh.
+"""
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+
+def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """IOU matrix of (k,4) vs (m,4) corner boxes."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)))
+    lt = np.maximum(a[:, None, 0:2], b[None, :, 0:2])
+    rb = np.minimum(a[:, None, 2:4], b[None, :, 2:4])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    union = np.maximum(area_a[:, None] + area_b[None, :] - inter, 1e-12)
+    return inter / union
+
+
+def average_precision(recall: np.ndarray, precision: np.ndarray) -> float:
+    """All-point interpolated AP (VOC2012 / Cartucho default)."""
+    mrec = np.concatenate([[0.0], recall, [1.0]])
+    mpre = np.concatenate([[0.0], precision, [0.0]])
+    for i in range(len(mpre) - 2, -1, -1):
+        mpre[i] = max(mpre[i], mpre[i + 1])
+    idx = np.where(mrec[1:] != mrec[:-1])[0]
+    return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
+
+
+def evaluate_map(
+    detections: Sequence[np.ndarray],
+    ground_truths: Sequence[np.ndarray],
+    iou_thresh: float = 0.5,
+) -> Dict:
+    """Compute mAP@iou_thresh.
+
+    detections: per image, (k, 6) rows [x0 y0 x1 y1 score class]
+    ground_truths: per image, (m, 5) rows [x0 y0 x1 y1 class]
+    All boxes in the same coordinate space.
+    Returns {"mAP": float, "per_class": {cls: ap}, "num_gt": {cls: n}}.
+    """
+    # gather per-class detection records: (score, image_idx, box)
+    per_class_dets = defaultdict(list)
+    gt_count = defaultdict(int)
+    for img_idx, dets in enumerate(detections):
+        for row in np.asarray(dets).reshape(-1, 6):
+            per_class_dets[int(row[5])].append((row[4], img_idx, row[0:4]))
+    for gts in ground_truths:
+        for row in np.asarray(gts).reshape(-1, 5):
+            gt_count[int(row[4])] += 1
+
+    aps = {}
+    for cls in sorted(set(gt_count) | set(per_class_dets)):
+        n_gt = gt_count.get(cls, 0)
+        dets = sorted(per_class_dets.get(cls, []), key=lambda d: -d[0])
+        if n_gt == 0:
+            aps[cls] = 0.0 if dets else float("nan")
+            continue
+        matched = {i: np.zeros(
+            int(np.sum(np.asarray(g).reshape(-1, 5)[:, 4] == cls)), bool)
+            for i, g in enumerate(ground_truths)}
+        tp = np.zeros(len(dets))
+        fp = np.zeros(len(dets))
+        for d_idx, (score, img_idx, box) in enumerate(dets):
+            gts = np.asarray(ground_truths[img_idx]).reshape(-1, 5)
+            gts_cls = gts[gts[:, 4] == cls]
+            if len(gts_cls) == 0:
+                fp[d_idx] = 1
+                continue
+            ious = box_iou(box[None, :], gts_cls[:, 0:4])[0]
+            best = int(np.argmax(ious))
+            if ious[best] >= iou_thresh and not matched[img_idx][best]:
+                tp[d_idx] = 1
+                matched[img_idx][best] = True
+            else:
+                fp[d_idx] = 1
+        ctp, cfp = np.cumsum(tp), np.cumsum(fp)
+        recall = ctp / n_gt
+        precision = ctp / np.maximum(ctp + cfp, 1e-12)
+        aps[cls] = average_precision(recall, precision)
+
+    real = [v for v in aps.values() if not np.isnan(v)]
+    return {"mAP": float(np.mean(real)) if real else 0.0,
+            "per_class": aps, "num_gt": dict(gt_count)}
+
+
+def detections_to_eval_format(per_head_boxes: List[np.ndarray]) -> np.ndarray:
+    """Per-head (k, 8) arrays [x0 y0 x1 y1 conf prob cls score] ->
+    flat (k, 6) [x0 y0 x1 y1 score cls] for evaluate_map."""
+    rows = [np.asarray(h).reshape(-1, 8) for h in per_head_boxes]
+    allr = np.concatenate(rows, axis=0) if rows else np.zeros((0, 8))
+    if len(allr) == 0:
+        return np.zeros((0, 6))
+    return np.stack([allr[:, 0], allr[:, 1], allr[:, 2], allr[:, 3],
+                     allr[:, 7], allr[:, 6]], axis=1)
+
+
+def labels_to_eval_format(labels: np.ndarray, image_wh) -> np.ndarray:
+    """(M, 5) normalized cxcywh+cls (-1 padded) -> (m, 5) corner boxes in
+    image_wh scale for evaluate_map."""
+    labels = np.asarray(labels).reshape(-1, 5)
+    valid = labels[:, 0] >= 0
+    lab = labels[valid]
+    w, h = image_wh
+    cx, cy = lab[:, 0] * w, lab[:, 1] * h
+    bw, bh = lab[:, 2] * w, lab[:, 3] * h
+    return np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2,
+                     lab[:, 4]], axis=1)

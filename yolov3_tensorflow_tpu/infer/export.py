@@ -1,0 +1,97 @@
+"""Model export.
+
+Reference: trainer.save_mobile (h5 -> frozen-graph .pb, trainer.py:140-163)
+and trainer.save_serving (TF-Serving SavedModel, trainer.py:165-185 — which
+crashes as shipped on the undefined ``FLAGS.output_name``, trainer.py:174).
+
+TPU-native equivalents:
+  * :func:`save_frozen` — the frozen-pb analog: the jitted forward with the
+    weights closed over as constants, serialized with ``jax.export``
+    (StableHLO), loadable on any device without the Python model code.
+  * :func:`save_serving` — the SavedModel analog: a directory containing
+    the serialized serving function plus the weights as a separate
+    checkpoint, with an explicit signature file naming input 'images' and
+    outputs after the heads (fixing the reference's output_name crash by
+    defining them: cfg.head_names).
+
+Numerics note: with the default bfloat16 conv path, a reloaded frozen
+artifact may differ from the live model by ~1e-2 absolute (different XLA
+fusions round bf16 differently).  With ``compute_dtype='float32'`` the
+round-trip matches to ~5e-6.
+"""
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _forward_fn(model, params, batch_stats):
+    def forward(images):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           images, train=False)
+    return forward
+
+
+def save_frozen(trainer, path: str, batch_size: Optional[int] = None):
+    """Frozen single-artifact export (save_mobile analog)."""
+    cfg = trainer.cfg
+    h, w, c = cfg.input_image_size
+    n = batch_size or 1
+    fn = _forward_fn(trainer.model, trainer.state.params,
+                     trainer.state.batch_stats)
+    exported = jax.export.export(jax.jit(fn))(
+        jax.ShapeDtypeStruct((n, h, w, c), jnp.float32))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+    meta = {
+        "input": {"name": "images", "shape": [n, h, w, c],
+                  "dtype": "float32"},
+        "outputs": list(cfg.head_names),
+        "backbone": cfg.model_backbone,
+    }
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f, indent=2)
+    return path
+
+
+def load_frozen(path: str):
+    """Deserialize a frozen export back into a callable."""
+    with open(path, "rb") as f:
+        exported = jax.export.deserialize(f.read())
+    return exported.call
+
+
+def save_serving(trainer, directory: str):
+    """Serving-directory export (save_serving analog): weights + signature
+    + serialized graph."""
+    os.makedirs(directory, exist_ok=True)
+    # weights (host numpy pytree, device-agnostic)
+    weights = jax.tree.map(lambda x: np.asarray(x),
+                           {"params": trainer.state.params,
+                            "batch_stats": trainer.state.batch_stats})
+    with open(os.path.join(directory, "weights.pkl"), "wb") as f:
+        pickle.dump(weights, f)
+    save_frozen(trainer, os.path.join(directory, "model.stablehlo"))
+    sig = {
+        "signature": "predict",
+        "inputs": {"images": list(map(int, trainer.cfg.input_image_size))},
+        "outputs": list(trainer.cfg.head_names),
+    }
+    with open(os.path.join(directory, "signature.json"), "w") as f:
+        json.dump(sig, f, indent=2)
+    return directory
+
+
+def load_serving(directory: str):
+    """Load a serving export -> (callable, signature dict)."""
+    with open(os.path.join(directory, "signature.json")) as f:
+        sig = json.load(f)
+    fn = load_frozen(os.path.join(directory, "model.stablehlo"))
+    return fn, sig
