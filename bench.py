@@ -1,0 +1,70 @@
+"""Benchmark: training throughput (images/sec/chip) at 416x416.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target: 5000 images/sec/chip on TPU v5e (BASELINE.md).
+
+Measures the full jitted train step (on-device augmentation + forward +
+loss + backward + RAdam update) on the flagship ResNet-18 YOLOv3 with
+synthetic device-resident data, steady-state, excluding compilation.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_IMG_S = 5000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import tempfile
+
+    from yolov3_tensorflow_tpu.config import Config
+    from yolov3_tensorflow_tpu.train.trainer import YOLOv3Trainer
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+
+    cfg = Config(input_image_size=(416, 416, 3), batch_size=batch,
+                 max_boxes=32, model_backbone="resnet-18",
+                 optimizer="radam", is_augment=True,
+                 rectified_coord_num=-1, num_devices=1)
+    trainer = YOLOv3Trainer(cfg, restore=False,
+                            checkpoint_dir=tempfile.mkdtemp())
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(batch, 416, 416, 3).astype(np.float32))
+    labels = -np.ones((batch, 32, 5), np.float32)
+    labels[:, 0] = [0.5, 0.5, 0.3, 0.3, 0]
+    labels[:, 1] = [0.25, 0.25, 0.1, 0.2, 0]
+    labels = jnp.asarray(labels)
+
+    # warmup / compile
+    state = trainer.state
+    for _ in range(3):
+        state, metrics = trainer.train_step(state, images, labels)
+    jax.block_until_ready(metrics["total_loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = trainer.train_step(state, images, labels)
+    jax.block_until_ready(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+
+    n_chips = max(1, len(jax.devices()))
+    img_s = batch * steps / dt / n_chips
+    print(json.dumps({
+        "metric": "train_images_per_sec_per_chip_416",
+        "value": round(img_s, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_s / BASELINE_IMG_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,164 @@
+"""Independent NumPy oracle for the YOLOv3 loss.
+
+Written directly from the reference's documented semantics
+(yolov3/yolov3_loss.py, see SURVEY.md §2) as a slow, per-image,
+loop-based implementation.  Deliberately structured differently from
+ops/loss.py (python loops over objects/cells instead of broadcasts) so a
+bug in the vectorized version cannot be mirrored here.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+EPS = 1e-8
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _iou_corner(a, b):
+    lt = np.maximum(a[0:2], b[0:2])
+    rb = np.minimum(a[2:4], b[2:4])
+    wh = np.maximum(rb - lt, 0.0)
+    inter = wh[0] * wh[1]
+    area_a = (a[2] - a[0]) * (a[3] - a[1])
+    area_b = (b[2] - b[0]) * (b[3] - b[1])
+    return inter / (area_a + area_b - inter), inter, area_b
+
+
+def decode_head_np(raw, anchors_grid, class_num):
+    """raw (H,W,B,5+C) -> decoded (H,W,B,5+C) and corner boxes."""
+    h, w, b, _ = raw.shape
+    dec = np.zeros_like(raw)
+    boxes = np.zeros((h, w, b, 4))
+    for i in range(h):
+        for j in range(w):
+            for k in range(b):
+                t = raw[i, j, k]
+                xy = np.clip(_sigmoid(t[0:2]), EPS, 1 - EPS) + [j, i]
+                wh = np.exp(t[2:4]) * anchors_grid[k]
+                sc = np.clip(_sigmoid(t[4]), EPS, 1 - EPS)
+                dec[i, j, k, 0:2] = xy
+                dec[i, j, k, 2:4] = wh
+                dec[i, j, k, 4] = sc
+                if class_num >= 1:
+                    logits = t[5:] - t[5:].max()
+                    p = np.exp(logits) / np.exp(logits).sum()
+                    dec[i, j, k, 5:] = np.clip(p, EPS, 1 - EPS)
+                boxes[i, j, k] = [xy[0] - wh[0] / 2, xy[1] - wh[1] / 2,
+                                  xy[0] + wh[0] / 2, xy[1] + wh[1] / 2]
+    return dec, boxes
+
+
+def reference_loss(raw_heads, targets, cfg, image_count=10 ** 9):
+    """Full-batch loss; returns (total, breakdown (6,3), new_count)."""
+    n = targets.shape[0]
+    grids = cfg.head_grid_sizes
+    anchors = [np.asarray(a) * np.array([g[1], g[0]])
+               for a, g in zip(cfg.anchor_boxes, grids)]
+    weights = np.asarray(cfg.loss_weights)  # (3,5) [xy, wh, noobj, obj, cls]
+    per_image = np.zeros((n, 5, 3))
+    rect_img = np.zeros((n, 3))
+
+    for img in range(n):
+        tgt = targets[img][targets[img][:, 0] >= 0]
+        decs, boxess, resp = [], [], []
+        for hi in range(3):
+            gh, gw = grids[hi]
+            bnum = len(cfg.anchor_boxes[hi])
+            raw = np.asarray(raw_heads[hi][img], np.float64).reshape(
+                gh, gw, bnum, cfg.box_len)
+            rect_img[img, hi] = cfg.rectified_loss_weight[hi] * np.sum(
+                raw[..., 0:4] ** 2)
+            dec, boxes = decode_head_np(raw, anchors[hi], cfg.class_num)
+            decs.append(dec)
+            boxess.append(boxes)
+            # responsible stats per object
+            obj_stats = []
+            for o in tgt:
+                txy = o[0:2] * [gw, gh]
+                twh = o[2:4] * [gw, gh]
+                tbox = [txy[0] - twh[0] / 2, txy[1] - twh[1] / 2,
+                        txy[0] + twh[0] / 2, txy[1] + twh[1] / 2]
+                col = int(np.clip(np.floor(txy[0]), 0, gw - 1))
+                row = int(np.clip(np.floor(txy[1]), 0, gh - 1))
+                best_iou, best_b = -1.0, 0
+                for k in range(bnum):
+                    iou, inter, tarea = _iou_corner(boxes[row, col, k],
+                                                    np.asarray(tbox))
+                    if cfg.is_tiou_recall:
+                        iou = iou * inter / max(tarea, 1e-12)
+                    if iou > best_iou:
+                        best_iou, best_b = iou, k
+                obj_stats.append((row, col, best_b, best_iou, txy, twh, o))
+            resp.append(obj_stats)
+
+        for hi in range(3):
+            gh, gw = grids[hi]
+            bnum = len(cfg.anchor_boxes[hi])
+            dec, boxes = decs[hi], boxess[hi]
+            # cross-head winners (>= ties assign to multiple heads)
+            winners = []
+            for oi in range(len(tgt)):
+                mine = resp[hi][oi][3]
+                if all(mine >= resp[hj][oi][3] for hj in range(3)):
+                    winners.append(oi)
+            obj_mask = np.zeros((gh, gw, bnum))
+            for oi in winners:
+                row, col, bb = resp[hi][oi][:3]
+                obj_mask[row, col, bb] = 1.0
+            # background: max IOU over GT below threshold and not object
+            noobj = 0.0
+            for i in range(gh):
+                for j in range(gw):
+                    for k in range(bnum):
+                        max_iou = 0.0
+                        for o in tgt:
+                            txy = o[0:2] * [gw, gh]
+                            twh = o[2:4] * [gw, gh]
+                            tbox = np.asarray([
+                                txy[0] - twh[0] / 2, txy[1] - twh[1] / 2,
+                                txy[0] + twh[0] / 2, txy[1] + twh[1] / 2])
+                            iou, inter, tarea = _iou_corner(boxes[i, j, k],
+                                                            tbox)
+                            if cfg.is_tiou_recall:
+                                iou = iou * inter / max(tarea, 1e-12)
+                            max_iou = max(max_iou, iou)
+                        if max_iou < cfg.iou_thresh and \
+                                obj_mask[i, j, k] == 0:
+                            term = -np.log(1 - dec[i, j, k, 4])
+                            if cfg.is_focal_loss:
+                                term *= dec[i, j, k, 4] ** cfg.focal_gamma
+                            noobj += term
+            obj = xy = wh = cls = 0.0
+            for oi in winners:
+                row, col, bb, _, txy, twh, o = resp[hi][oi]
+                pred = dec[row, col, bb]
+                term = -np.log(pred[4])
+                if cfg.is_focal_loss:
+                    term *= (1 - pred[4]) ** cfg.focal_gamma \
+                        * cfg.focal_alpha
+                obj += term
+                scale = 2 - twh[0] * twh[1] / (gh * gw)
+                ci = np.floor(txy)
+                tf_ = txy - ci
+                pf = np.clip(pred[0:2] - ci, EPS, 1 - EPS)
+                xy += scale * np.sum(-(tf_ * np.log(pf)
+                                       + (1 - tf_) * np.log(1 - pf)))
+                wh += scale * np.sum(
+                    (np.log(twh) - np.log(pred[2:4])) ** 2)
+                if cfg.class_num >= 1:
+                    cls += -np.log(pred[5 + int(o[4])])
+            per_image[img, :, hi] = [
+                weights[hi, 0] * xy, weights[hi, 1] * wh,
+                weights[hi, 2] * noobj, weights[hi, 3] * obj,
+                weights[hi, 4] * cls]
+
+    loss_mat = per_image.mean(axis=0)  # (5,3)
+    active = float(image_count <= cfg.rectified_coord_num)
+    rect = rect_img.mean(axis=0) * active
+    total = loss_mat.sum() + rect.sum()
+    breakdown = np.concatenate([rect[None, :], loss_mat], axis=0)
+    new_count = image_count + n * int(active)
+    return total, breakdown, new_count

@@ -1,0 +1,111 @@
+"""Data pipeline: letterbox parity with tf.image.resize_with_pad, label
+transform math (dataset/file_util.py:47-55), loader invariants, and
+augmentation bounds (dataset/dataset_util.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolov3_tensorflow_tpu.config import Config
+from yolov3_tensorflow_tpu.data.augment import augment_batch
+from yolov3_tensorflow_tpu.data.loader import (Dataset, letterbox_geometry,
+                                               load_image, pad_labels,
+                                               parse_label_file,
+                                               transform_labels)
+
+
+def test_letterbox_geometry_matches_tf():
+    tf = pytest.importorskip("tensorflow")
+    rng = np.random.RandomState(0)
+    for (sh, sw) in [(100, 200), (375, 500), (333, 500), (480, 640),
+                     (50, 50), (800, 100)]:
+        img = rng.randint(0, 255, (sh, sw, 3), np.uint8)
+        ours_hw, (pt, pl) = letterbox_geometry((sh, sw), (384, 480))
+        tf_out = tf.image.resize_with_pad(
+            tf.constant(img), 384, 480,
+            method=tf.image.ResizeMethod.NEAREST_NEIGHBOR).numpy()
+        # the non-padding region extents must agree
+        mask = tf_out.sum(axis=-1) > 0
+        rows = np.where(mask.any(axis=1))[0]
+        cols = np.where(mask.any(axis=0))[0]
+        if len(rows):
+            assert abs(int(rows[0]) - pt) <= 1
+            assert abs(int(rows[-1]) - (pt + ours_hw[0] - 1)) <= 1
+        if len(cols):
+            assert abs(int(cols[0]) - pl) <= 1
+            assert abs(int(cols[-1]) - (pl + ours_hw[1] - 1)) <= 1
+
+
+def test_label_transform_math():
+    # src 200x100 (h x w) -> dst 100x100: width is the limiting... ratio
+    # per reference: src_over_dst = [2.0, 1.0]; ratio_wh = [0.5, 1.0]
+    labels = np.asarray([[0.5, 0.5, 0.2, 0.4, 1.0]], np.float32)
+    out = transform_labels(labels, (200, 100), (100, 100))
+    np.testing.assert_allclose(out[0], [0.5, 0.5, 0.1, 0.4, 1.0], atol=1e-6)
+    # centred: cx' = cx*r + (1-r)/2 keeps the centre of a centred box
+    labels = np.asarray([[0.0, 0.5, 0.2, 0.4, 1.0]], np.float32)
+    out = transform_labels(labels, (200, 100), (100, 100))
+    np.testing.assert_allclose(out[0, 0], 0.25, atol=1e-6)
+
+
+def test_loader_on_reference_sample(sample_paths):
+    cfg = Config(input_image_size=(96, 128, 3), max_boxes=8, batch_size=4)
+    ds = Dataset(cfg, sample_paths["label"], sample_paths["images"])
+    assert len(ds) == 20
+    batch = next(ds.batches())
+    assert batch.images.shape == (4, 96, 128, 3)
+    assert batch.labels.shape == (4, 8, 5)
+    assert batch.images.dtype == np.float32
+    assert 0.0 <= batch.images.min() and batch.images.max() <= 1.0
+    # -1 padding only in trailing rows
+    for lab in batch.labels:
+        valid = lab[:, 0] >= 0
+        k = int(valid.sum())
+        assert valid[:k].all() and not valid[k:].any()
+    # test-mode batches carry paths
+    ds_t = Dataset(cfg, sample_paths["label"], sample_paths["images"],
+                   is_test=True, shuffle=False)
+    b = next(ds_t.batches(repeat=False))
+    assert b.paths is not None and len(b.paths) == 4
+    assert b.paths[0].endswith("000001.jpg")
+
+
+def test_bgr_channel_order(sample_paths):
+    """file_util.py:59 reverses RGB->BGR."""
+    from PIL import Image
+    path = f"{sample_paths['images']}/000001.jpg"
+    img = load_image(path, (384, 480))
+    rgb = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+    # compare channel means: loaded[...,2] should match the RGB red mean
+    inner = img[img.sum(axis=-1) > 0]
+    assert abs(inner[:, 2].mean() - rgb[..., 0].mean()) < 0.05
+    assert abs(inner[:, 0].mean() - rgb[..., 2].mean()) < 0.05
+
+
+def test_pad_labels_truncates():
+    lab = np.tile(np.asarray([[0.5, 0.5, 0.1, 0.1, 0]], np.float32), (6, 1))
+    out = pad_labels(lab, 4)
+    assert out.shape == (4, 5)
+    assert (out[:, 0] >= 0).all()
+
+
+def test_augment_bounds_and_variety():
+    rng = jax.random.PRNGKey(0)
+    imgs = jnp.asarray(np.random.RandomState(0).rand(8, 32, 32, 3)
+                       .astype(np.float32))
+    out = jax.jit(augment_batch)(rng, imgs)
+    assert out.shape == imgs.shape
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    # different key -> different augmentation
+    out2 = jax.jit(augment_batch)(jax.random.PRNGKey(1), imgs)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+    # same key -> deterministic
+    out3 = jax.jit(augment_batch)(rng, imgs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out3))
+
+
+def test_parse_label_file(sample_paths):
+    ex = parse_label_file(sample_paths["label"], sample_paths["images"])
+    assert len(ex) == 20
+    assert ex[0].labels.shape == (2, 5)  # 000001.jpg has two objects
+    assert ex[3].labels.shape == (7, 5)  # 000004.jpg has seven

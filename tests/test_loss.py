@@ -1,0 +1,126 @@
+"""Loss correctness: vectorized XLA loss vs the independent NumPy oracle,
+plus structural invariances (reference semantics: yolov3/yolov3_loss.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolov3_tensorflow_tpu.config import Config
+from yolov3_tensorflow_tpu.ops.loss import YOLOv3Loss
+
+from .reference_loss import reference_loss
+
+
+def _mk_cfg(**kw):
+    base = dict(input_image_size=(32, 32, 3), max_boxes=3,
+                anchor_boxes=(((0.2, 0.3), (0.5, 0.4)),
+                              ((0.3, 0.3),),
+                              ((0.6, 0.7), (0.9, 0.8))))
+    base.update(kw)
+    return Config(**base)
+
+
+def _random_heads(cfg, n, seed=0):
+    rng = np.random.RandomState(seed)
+    return [jnp.asarray(0.5 * rng.randn(n, h, w, c).astype(np.float32))
+            for (h, w), c in zip(cfg.head_grid_sizes, cfg.head_channel_nums)]
+
+
+def _targets(n, m, rows):
+    t = -np.ones((n, m, 5), np.float32)
+    for (i, j), row in rows.items():
+        t[i, j] = row
+    return jnp.asarray(t)
+
+
+@pytest.mark.parametrize("class_num,focal,tiou", [
+    (0, False, False),
+    (3, False, False),
+    (3, True, False),
+    (0, False, True),
+])
+def test_matches_numpy_oracle(class_num, focal, tiou):
+    cfg = _mk_cfg(class_num=class_num, is_focal_loss=focal,
+                  is_tiou_recall=tiou, rectified_coord_num=100)
+    heads = _random_heads(cfg, 2, seed=class_num + 10 * focal + 100 * tiou)
+    targets = _targets(2, 3, {
+        (0, 0): [0.5, 0.5, 0.25, 0.3, min(1, class_num and 1)],
+        (0, 1): [0.2, 0.7, 0.1, 0.15, 0],
+        (1, 0): [0.8, 0.3, 0.4, 0.5, min(2, max(0, class_num - 1))],
+    })
+    loss = YOLOv3Loss(cfg)
+    total, bd, cnt = jax.jit(loss)(heads, targets,
+                                   jnp.asarray(0, jnp.int32))
+    ref_total, ref_bd, ref_cnt = reference_loss(
+        [np.asarray(h) for h in heads], np.asarray(targets), cfg,
+        image_count=0)
+    np.testing.assert_allclose(float(total), ref_total, rtol=2e-4)
+    got = np.stack([np.asarray(bd[k]) for k in (
+        "rectified_coord_loss", "coord_loss_xy", "coord_loss_wh",
+        "noobj_iou_loss", "obj_iou_loss", "class_loss")])
+    np.testing.assert_allclose(got, ref_bd, rtol=2e-3, atol=1e-5)
+    assert int(cnt) == ref_cnt
+
+
+def test_padding_rows_do_not_matter():
+    cfg = _mk_cfg(max_boxes=5)
+    heads = _random_heads(cfg, 1)
+    t1 = _targets(1, 5, {(0, 0): [0.5, 0.5, 0.2, 0.2, 0]})
+    # same object, garbage in the padding rows (must still read as padding)
+    t2 = np.asarray(t1).copy()
+    t2[0, 3] = [-1, 0.9, 0.9, 0.9, 5]
+    loss = YOLOv3Loss(cfg)
+    l1, _, _ = loss(heads, t1, jnp.asarray(10 ** 9, jnp.int32))
+    l2, _, _ = loss(heads, jnp.asarray(t2), jnp.asarray(10 ** 9, jnp.int32))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+def test_rectified_counter_gating():
+    cfg = _mk_cfg(rectified_coord_num=3)
+    heads = _random_heads(cfg, 2)
+    t = _targets(2, 3, {(0, 0): [0.5, 0.5, 0.2, 0.2, 0]})
+    loss = YOLOv3Loss(cfg)
+    # active: count 0 <= 3
+    _, bd, cnt = loss(heads, t, jnp.asarray(0, jnp.int32))
+    assert np.asarray(bd["rectified_coord_loss"]).sum() > 0
+    assert int(cnt) == 2
+    # still active at exactly the boundary (reference uses <=)
+    _, bd, cnt = loss(heads, t, jnp.asarray(3, jnp.int32))
+    assert np.asarray(bd["rectified_coord_loss"]).sum() > 0
+    assert int(cnt) == 5
+    # inactive past it; counter freezes
+    _, bd, cnt = loss(heads, t, jnp.asarray(4, jnp.int32))
+    assert np.asarray(bd["rectified_coord_loss"]).sum() == 0
+    assert int(cnt) == 4
+
+
+def test_empty_image_and_gradients_finite():
+    cfg = _mk_cfg()
+    heads = _random_heads(cfg, 2)
+    t = -jnp.ones((2, 3, 5))
+    loss = YOLOv3Loss(cfg)
+
+    def total(hs):
+        l, _, _ = loss(hs, t, jnp.asarray(0, jnp.int32))
+        return l
+
+    val = total(heads)
+    assert bool(jnp.isfinite(val))
+    grads = jax.grad(total)(heads)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in grads)
+    # only noobj + rectified terms are non-zero without objects
+    _, bd, _ = loss(heads, t, jnp.asarray(10 ** 9, jnp.int32))
+    assert np.asarray(bd["coord_loss_xy"]).sum() == 0
+    assert np.asarray(bd["obj_iou_loss"]).sum() == 0
+    assert np.asarray(bd["noobj_iou_loss"]).sum() > 0
+
+
+def test_cross_head_assignment_unique_when_no_tie():
+    """A small object should normally win on exactly one head."""
+    cfg = _mk_cfg(rectified_coord_num=-1)
+    heads = _random_heads(cfg, 1, seed=7)
+    t = _targets(1, 3, {(0, 0): [0.4, 0.6, 0.05, 0.05, 0]})
+    loss = YOLOv3Loss(cfg)
+    _, bd, _ = loss(heads, t, jnp.asarray(10 ** 9, jnp.int32))
+    obj = np.asarray(bd["obj_iou_loss"])
+    assert int((obj > 0).sum()) == 1

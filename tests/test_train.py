@@ -1,0 +1,94 @@
+"""Trainer integration: overfit descent, checkpoint resume equality,
+1-device vs 8-device sharded-step equivalence, export round-trip."""
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolov3_tensorflow_tpu.config import Config
+from yolov3_tensorflow_tpu.parallel.mesh import make_mesh
+from yolov3_tensorflow_tpu.train.trainer import YOLOv3Trainer
+
+
+def _cfg(**kw):
+    base = dict(input_image_size=(64, 64, 3), batch_size=8, max_boxes=4,
+                rectified_coord_num=-1, is_augment=False,
+                compute_dtype="float32")
+    base.update(kw)
+    return Config(**base)
+
+
+def _batch(n, seed=0):
+    rng = np.random.RandomState(seed)
+    images = rng.rand(n, 64, 64, 3).astype(np.float32)
+    labels = -np.ones((n, 4, 5), np.float32)
+    labels[:, 0] = [0.5, 0.5, 0.3, 0.3, 0]
+    return jnp.asarray(images), jnp.asarray(labels)
+
+
+def test_overfit_descent_and_resume():
+    cfg = _cfg()
+    ckdir = tempfile.mkdtemp()
+    tr = YOLOv3Trainer(cfg, restore=False, checkpoint_dir=ckdir)
+    images, labels = _batch(8)
+    losses = []
+    for _ in range(6):
+        tr.state, m = tr.train_step(tr.state, images, labels)
+        losses.append(float(m["total_loss"]))
+    assert losses[-1] < losses[0]
+    tr.ckpt.save(int(tr.state.step), tr.state, force=True)
+
+    tr2 = YOLOv3Trainer(cfg, restore=True, checkpoint_dir=ckdir)
+    assert int(tr2.state.step) == int(tr.state.step)
+    # resumed state must produce the identical next step
+    s1, m1 = tr.train_step(tr.state, images, labels)
+    s2, m2 = tr2.train_step(tr2.state, images, labels)
+    np.testing.assert_allclose(float(m1["total_loss"]),
+                               float(m2["total_loss"]), rtol=1e-6)
+
+
+def test_single_vs_8device_equivalence():
+    """jit-SPMD semantics are device-count invariant: the same global batch
+    must produce the same loss on a 1-device and an 8-device mesh."""
+    cfg = _cfg()
+    images, labels = _batch(8, seed=3)
+    losses = {}
+    for n in (1, 8):
+        mesh = make_mesh(n)
+        tr = YOLOv3Trainer(cfg, mesh=mesh, restore=False,
+                           checkpoint_dir=tempfile.mkdtemp())
+        _, m = tr.train_step(tr.state, images, labels)
+        losses[n] = float(m["total_loss"])
+    np.testing.assert_allclose(losses[1], losses[8], rtol=1e-5)
+
+
+def test_augmented_step_runs():
+    cfg = _cfg(is_augment=True)
+    tr = YOLOv3Trainer(cfg, restore=False,
+                       checkpoint_dir=tempfile.mkdtemp())
+    images, labels = _batch(8)
+    rng_before = np.asarray(tr.state.rng)  # copy before donation
+    st, m = tr.train_step(tr.state, images, labels)
+    assert np.isfinite(float(m["total_loss"]))
+    # augmentation rng must advance
+    assert not np.array_equal(np.asarray(st.rng), rng_before)
+
+
+def test_export_roundtrip_fp32():
+    from yolov3_tensorflow_tpu.infer.export import (load_serving,
+                                                    save_serving)
+    cfg = _cfg()
+    tr = YOLOv3Trainer(cfg, restore=False,
+                       checkpoint_dir=tempfile.mkdtemp())
+    with tempfile.TemporaryDirectory() as d:
+        save_serving(tr, d)
+        fn, sig = load_serving(d)
+        assert sig["outputs"] == list(cfg.head_names)
+        x = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+        out = fn(x)
+        ref = tr.predict(x)
+        for a, b in zip(out, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4)

@@ -3,21 +3,36 @@
 Reference: dataset/dataset_util.py:19-115 — per-image augmentation on the
 host tf.data pipeline.  TPU-native re-design: the whole batch is augmented
 on-device by pure jnp ops inside the jitted train step, where the VPU does
-the elementwise work for free and the host stays dedicated to JPEG decode.
+the elementwise work and the host stays dedicated to JPEG decode.
 
 Parity with the reference:
   * equal-probability {salt-pepper, gaussian, none} noise (:46-55);
     gaussian stddev 0.01 (:30-34); salt-pepper via two Bernoulli masks —
     p=0.01 select, p=0.5 salt-vs-pepper (:36-43)
   * brightness/saturation/contrast applied in one of 4 random orders
-    (3 permutations + identity) via lax.switch (:57-104)
+    (3 permutations + identity) (:57-104)
   * hyperparameters identical (:22-27); final clip to [0,1] (:103)
   * geometric augs deliberately absent — random crop breaks anchor priors
     (dataset_util.py header note :5-14)
 
-Note the reference applies saturation to BGR images as if RGB
-(augmentation runs after the RGB->BGR flip, file_util.py:59); we replicate
-by applying the HSV transform to whatever channel order arrives.
+Performance note (why there is no lax.switch): under vmap, a switch runs
+EVERY branch for every image and selects — 4 orderings x 3 color ops each.
+Instead we use the exact identity ``contrast(x + b) = contrast(x) + b``
+(contrast recenters about the mean of its input, absorbing any shift), which
+collapses the three reference orderings to ONE canonical pipeline:
+
+    order 0 (b,s,c): contrast(sat(x + b))
+    order 1 (s,b,c): contrast(sat(x) + b) = contrast(sat(x)) + b
+    order 2 (s,c,b): contrast(sat(x)) + b          (same as order 1)
+
+so y = contrast_c(sat_s(x + pre_b)) + post_b with per-image scalars:
+pre_b = b*[order==0], post_b = b*[order in {1,2}], and s=c=1, b=0 for
+order 3 (identity).  One saturation pass, one contrast pass, no branches.
+Noise is likewise expressed with per-image selector masks.
+
+The reference applies saturation to BGR images as if RGB (augmentation runs
+after the RGB->BGR flip, file_util.py:59); the HSV transform is applied to
+whatever channel order arrives, replicating that.
 """
 from __future__ import annotations
 
@@ -63,75 +78,51 @@ def _hsv_to_rgb(h, s, v):
     return jnp.stack([r, g, b], axis=-1)
 
 
-def _random_brightness(rng, img):
-    """Additive uniform delta (tf.image.random_brightness,
-    dataset_util.py:60)."""
-    delta = jax.random.uniform(rng, (), minval=-RANDOM_BRIGHTNESS,
-                               maxval=RANDOM_BRIGHTNESS)
-    return img + delta
-
-
-def _random_saturation(rng, img):
-    """HSV saturation scale in [0.9, 1.1] (dataset_util.py:61-62)."""
-    factor = jax.random.uniform(rng, (), minval=RANDOM_LOW_SATURATION,
-                                maxval=RANDOM_UP_SATURATION)
+def _saturate(img, factor):
+    """Per-image HSV saturation scale; factor (N,1,1)."""
     h, s, v = _rgb_to_hsv(jnp.clip(img, 0.0, 1.0))
     return _hsv_to_rgb(h, jnp.clip(s * factor, 0.0, 1.0), v)
 
 
-def _random_contrast(rng, img):
-    """Per-channel contrast about the spatial mean in [0.9, 1.1]
-    (tf.image.random_contrast, dataset_util.py:63-64)."""
-    factor = jax.random.uniform(rng, (), minval=RANDOM_LOW_CONTRAST,
-                                maxval=RANDOM_UP_CONTRAST)
-    mean = jnp.mean(img, axis=(0, 1), keepdims=True)
-    return (img - mean) * factor + mean
-
-
-def _add_gauss_noise(rng, img):
-    """(dataset_util.py:30-34)"""
-    return img + RANDOM_NORMAL * jax.random.normal(rng, img.shape)
-
-
-def _add_salt_pepper_noise(rng, img):
-    """(dataset_util.py:36-43)"""
-    r1, r2 = jax.random.split(rng)
-    shp = img.shape[:-1]
-    sel = jax.random.bernoulli(r1, RANDOM_NORMAL, shp).astype(img.dtype)
-    salt = jax.random.bernoulli(r2, 0.5, shp).astype(img.dtype)
-    return img * (1.0 - sel)[..., None] + (salt * sel)[..., None]
-
-
-def _augment_one(rng, img):
-    """Single-image augmentation (dataset_util.py:88-104)."""
-    k_noise, k_nt, k_order, k1, k2, k3 = jax.random.split(rng, 6)
-    noise_type = jax.random.randint(k_nt, (), 0, 3)
-    img = jax.lax.switch(noise_type, [
-        lambda im: _add_salt_pepper_noise(k_noise, im),
-        lambda im: _add_gauss_noise(k_noise, im),
-        lambda im: im,
-    ], img)
-
-    def order0(im):  # brightness, saturation, contrast (:58-65)
-        return _random_contrast(k3, _random_saturation(
-            k2, _random_brightness(k1, im)))
-
-    def order1(im):  # saturation, brightness, contrast (:67-75)
-        return _random_contrast(k3, _random_brightness(
-            k2, _random_saturation(k1, im)))
-
-    def order2(im):  # saturation, contrast, brightness (:77-85)
-        return _random_brightness(k3, _random_contrast(
-            k2, _random_saturation(k1, im)))
-
-    ordering = jax.random.randint(k_order, (), 0, 4)
-    img = jax.lax.switch(ordering, [order0, order1, order2, lambda im: im],
-                         img)
-    return jnp.clip(img, 0.0, 1.0)
-
-
 def augment_batch(rng, images):
-    """Augment a (N, H, W, 3) float batch with independent per-image
-    randomness (the map-after-repeat semantics of dataset_util.py:106-115)."""
-    rngs = jax.random.split(rng, images.shape[0])
-    return jax.vmap(_augment_one)(rngs, images)
+    """Augment a (N, H, W, 3) float batch; independent per-image randomness
+    (the map-after-repeat semantics of dataset_util.py:106-115)."""
+    n = images.shape[0]
+    (k_nt, k_ord, k_b, k_s, k_c, k_gauss, k_sel, k_salt) = \
+        jax.random.split(rng, 8)
+    dtype = images.dtype
+
+    # ------------------------------------------------ per-image scalars --
+    noise_type = jax.random.randint(k_nt, (n,), 0, 3)  # 0 sp, 1 gauss, 2 no
+    order = jax.random.randint(k_ord, (n,), 0, 4)
+    b = jax.random.uniform(k_b, (n,), minval=-RANDOM_BRIGHTNESS,
+                           maxval=RANDOM_BRIGHTNESS)
+    s = jax.random.uniform(k_s, (n,), minval=RANDOM_LOW_SATURATION,
+                           maxval=RANDOM_UP_SATURATION)
+    c = jax.random.uniform(k_c, (n,), minval=RANDOM_LOW_CONTRAST,
+                           maxval=RANDOM_UP_CONTRAST)
+    do_color = order < 3
+    s_eff = jnp.where(do_color, s, 1.0).astype(dtype)[:, None, None]
+    c_eff = jnp.where(do_color, c, 1.0).astype(dtype)[:, None, None, None]
+    pre_b = jnp.where(do_color & (order == 0), b, 0.0).astype(dtype)[
+        :, None, None, None]
+    post_b = jnp.where(do_color & (order != 0), b, 0.0).astype(dtype)[
+        :, None, None, None]
+
+    # ------------------------------------------------------------ noise --
+    gauss_on = (noise_type == 1).astype(dtype)[:, None, None, None]
+    x = images + gauss_on * RANDOM_NORMAL * jax.random.normal(
+        k_gauss, images.shape, dtype)
+    sel = jax.random.bernoulli(k_sel, RANDOM_NORMAL, images.shape[:3]) \
+        .astype(dtype)
+    salt = jax.random.bernoulli(k_salt, 0.5, images.shape[:3]).astype(dtype)
+    sp_on = (noise_type == 0).astype(dtype)[:, None, None]
+    sel_eff = (sel * sp_on)[..., None]
+    x = x * (1.0 - sel_eff) + (salt[..., None] * sel_eff)
+
+    # ------------------------------------------------------------ color --
+    x = x + pre_b
+    x = _saturate(x, s_eff)
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)  # per-channel spatial
+    x = (x - mean) * c_eff + mean + post_b
+    return jnp.clip(x, 0.0, 1.0)

@@ -206,5 +206,17 @@ class YOLOv3Trainer:
 
     # ------------------------------------------------------------------ #
     def predict(self, images) -> tuple:
-        """Raw 3-head outputs for a batch (trainer.py:117-124)."""
-        return self.forward(self.state, jnp.asarray(images, jnp.float32))
+        """Raw 3-head outputs for a batch (trainer.py:117-124).  Batches not
+        divisible by the mesh data axis are padded then sliced back."""
+        images = jnp.asarray(images, jnp.float32)
+        n = images.shape[0]
+        d = self.mesh.shape[self.cfg.data_axis]
+        pad = (-n) % d
+        if pad:
+            images = jnp.concatenate(
+                [images, jnp.zeros((pad,) + images.shape[1:],
+                                   images.dtype)], axis=0)
+        heads = self.forward(self.state, images)
+        if pad:
+            heads = tuple(h[:n] for h in heads)
+        return heads
