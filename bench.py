@@ -27,7 +27,7 @@ def main():
     from yolov3_tensorflow_tpu.config import Config
     from yolov3_tensorflow_tpu.train.trainer import YOLOv3Trainer
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 
     cfg = Config(input_image_size=(416, 416, 3), batch_size=batch,
@@ -44,16 +44,18 @@ def main():
     labels[:, 1] = [0.25, 0.25, 0.1, 0.2, 0]
     labels = jnp.asarray(labels)
 
-    # warmup / compile
+    # warmup / compile.  NOTE: sync via a scalar fetch — block_until_ready
+    # does not reliably block through the axon relay backend.
     state = trainer.state
     for _ in range(3):
         state, metrics = trainer.train_step(state, images, labels)
-    jax.block_until_ready(metrics["total_loss"])
+    float(metrics["total_loss"])
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = trainer.train_step(state, images, labels)
-    jax.block_until_ready(metrics["total_loss"])
+    # the final loss depends on the whole chain; fetching it syncs all steps
+    float(metrics["total_loss"])
     dt = time.perf_counter() - t0
 
     n_chips = max(1, len(jax.devices()))

@@ -47,41 +47,24 @@ RANDOM_UP_SATURATION = 1.1
 RANDOM_NORMAL = 0.01  # noise scale / salt-pepper density
 
 
-def _rgb_to_hsv(img):
-    r, g, b = img[..., 0], img[..., 1], img[..., 2]
-    mx = jnp.max(img, axis=-1)
-    mn = jnp.min(img, axis=-1)
-    diff = mx - mn
-    safe = jnp.where(diff > 0, diff, 1.0)
-    h = jnp.where(
-        mx == r, (g - b) / safe % 6.0,
-        jnp.where(mx == g, (b - r) / safe + 2.0, (r - g) / safe + 4.0))
-    h = jnp.where(diff > 0, h / 6.0, 0.0)
-    s = jnp.where(mx > 0, diff / jnp.where(mx > 0, mx, 1.0), 0.0)
-    return h, s, mx
-
-
-def _hsv_to_rgb(h, s, v):
-    h6 = h * 6.0
-    i = jnp.floor(h6)
-    f = h6 - i
-    p = v * (1.0 - s)
-    q = v * (1.0 - s * f)
-    t = v * (1.0 - s * (1.0 - f))
-    i = i.astype(jnp.int32) % 6
-    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
-                   [v, q, p, p, t, v])
-    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
-                   [t, v, v, q, p, p])
-    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
-                   [p, p, t, v, v, q])
-    return jnp.stack([r, g, b], axis=-1)
-
-
 def _saturate(img, factor):
-    """Per-image HSV saturation scale; factor (N,1,1)."""
-    h, s, v = _rgb_to_hsv(jnp.clip(img, 0.0, 1.0))
-    return _hsv_to_rgb(h, jnp.clip(s * factor, 0.0, 1.0), v)
+    """Per-image HSV saturation scale; factor (N,1,1).
+
+    Closed form of the HSV round-trip: with V = max(rgb) fixed and hue
+    fixed, every channel is affine in S — rgb = V*(1 - S*k_c) — so scaling
+    S by f is exactly ``rgb' = V + f*(rgb - V)``.  The HSV path clamps
+    S' at 1 (tf adjust_saturation does the same), which corresponds to
+    capping the per-pixel factor at V/(V-min).  This replaces ~15
+    elementwise passes of an explicit RGB<->HSV conversion with 2 reduces
+    + 1 lerp."""
+    img = jnp.clip(img, 0.0, 1.0)
+    v = jnp.max(img, axis=-1, keepdims=True)
+    mn = jnp.min(img, axis=-1, keepdims=True)
+    chroma = v - mn
+    f = factor[..., None]
+    cap = v / jnp.where(chroma > 0, chroma, 1.0)
+    f_px = jnp.where(f * chroma > v, cap, f)
+    return v + f_px * (img - v)
 
 
 def augment_batch(rng, images):
