@@ -41,6 +41,10 @@ def build_config(args) -> "Config":
     if args.input_size:
         h, w = (int(x) for x in args.input_size.split("x"))
         overrides["input_image_size"] = (h, w, 3)
+    if args.multi_scale:
+        sizes = tuple(tuple(int(v) for v in s.split("x"))
+                      for s in args.multi_scale.split(","))
+        overrides["multi_scale_sizes"] = sizes
     if args.no_augment:
         overrides["is_augment"] = False
     if args.focal_loss:
@@ -54,8 +58,15 @@ def train(cfg, trainer):
     """(run.py:31-38)"""
     from yolov3_tensorflow_tpu.data.loader import Dataset
     logging.info("loading train set: %s", cfg.train_label_path)
-    ds = Dataset(cfg, cfg.train_label_path, cfg.train_set_dir)
-    trainer.train(ds.prefetch())
+    if cfg.multi_scale_sizes:
+        batches = {
+            tuple(hw): Dataset(cfg, cfg.train_label_path, cfg.train_set_dir,
+                               dst_hw=tuple(hw)).prefetch()
+            for hw in cfg.multi_scale_sizes}
+        trainer.train_multi_scale(batches)
+    else:
+        ds = Dataset(cfg, cfg.train_label_path, cfg.train_set_dir)
+        trainer.train(ds.prefetch())
     logging.info("training done")
 
 
@@ -133,6 +144,8 @@ def main(argv=None):
     p.add_argument("--save_path", default=None)
     p.add_argument("--image_root_path", default=None)
     p.add_argument("--input_size", default=None, help="HxW, e.g. 384x480")
+    p.add_argument("--multi_scale", default=None,
+                   help="comma-separated HxW list, e.g. 320x416,384x480")
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--epoch", type=int, default=None)
     p.add_argument("--class_num", type=int, default=None)

@@ -75,6 +75,10 @@ class Config:
 
     # --- model geometry (configs.py:36-49) ---
     input_image_size: Tuple[int, int, int] = (384, 480, 3)  # [H, W, C]
+    # Multi-scale training sizes [(H, W), ...]; None disables.  This was an
+    # unchecked TODO in the reference (README.md:130 多尺度输入); here each
+    # size gets its own cached jitted step and epochs cycle through sizes.
+    multi_scale_sizes: Tuple[Tuple[int, int], ...] | None = None
     anchor_boxes: Tuple[Tuple[Tuple[float, float], ...], ...] = DEFAULT_ANCHOR_BOXES
     class_num: int = 0
     # Static max number of objects per image; labels are padded with -1 to this

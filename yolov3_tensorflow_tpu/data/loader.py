@@ -119,12 +119,14 @@ class Dataset:
 
     def __init__(self, cfg: Config, label_path: str, root_path: str,
                  is_test: bool = False, cache: bool = True,
-                 shuffle: bool = True, seed: int = 6):
+                 shuffle: bool = True, seed: int = 6,
+                 dst_hw: Optional[Tuple[int, int]] = None):
         self.cfg = cfg
         self.examples = parse_label_file(label_path, root_path)
         if not self.examples:
             raise ValueError(f"no examples parsed from {label_path}")
-        self.dst_hw = (cfg.input_image_size[0], cfg.input_image_size[1])
+        self.dst_hw = dst_hw or (cfg.input_image_size[0],
+                                 cfg.input_image_size[1])
         self.is_test = is_test
         self.shuffle = shuffle
         self.rng = np.random.RandomState(seed)

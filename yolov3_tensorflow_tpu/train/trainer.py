@@ -54,8 +54,11 @@ class YOLOv3Trainer:
         self.mesh = mesh if mesh is not None else mesh_from_config(cfg)
 
         h, w, c = cfg.input_image_size
-        rng = jax.random.PRNGKey(seed)
-        init_rng, aug_rng = jax.random.split(rng)
+        init_rng = jax.random.PRNGKey(seed)
+        # augmentation uses the rbg PRNG (2x faster than threefry on TPU for
+        # full-image noise fields); stored as raw key data so checkpoints
+        # stay plain uint32 arrays
+        aug_rng = jax.random.key_data(jax.random.key(seed + 1, impl="rbg"))
         variables = self.model.init(
             init_rng, jnp.zeros((1, h, w, c), jnp.float32), train=False)
         params = variables["params"]
@@ -69,7 +72,14 @@ class YOLOv3Trainer:
             checkpoint_dir or cfg.checkpoint_path,
             max_keep=cfg.ckpt_max_keep)
         if restore and self.ckpt.latest_step() is not None:
-            restored = self.ckpt.restore(self.state)
+            try:
+                restored = self.ckpt.restore(self.state)
+            except Exception as e:
+                raise RuntimeError(
+                    f"checkpoint at {self.ckpt.directory} is incompatible "
+                    f"with the current model/optimizer configuration "
+                    f"({type(e).__name__}); delete it or point "
+                    f"checkpoint_dir elsewhere to start fresh") from e
             if restored is not None:
                 self.state = restored
                 logging.info("restored checkpoint at step %d",
@@ -81,13 +91,37 @@ class YOLOv3Trainer:
         self.history = []
 
     # ------------------------------------------------------------------ #
+    def steps_for_size(self, input_hw):
+        """Jitted (train_step, eval_step, forward) for a given input size.
+
+        Multi-scale input training (a reference TODO, README.md:130): the
+        convolutional model is size-agnostic, but the loss closes over the
+        per-size head grids, so each size gets its own compiled step (cached
+        here; XLA compiles each once)."""
+        key = (int(input_hw[0]), int(input_hw[1]))
+        if key not in self._size_steps:
+            size_cfg = self.cfg.replace(
+                input_image_size=(key[0], key[1],
+                                  self.cfg.input_image_size[2]))
+            self._size_steps[key] = self._compile_steps(
+                size_cfg, YOLOv3Loss(size_cfg))
+        return self._size_steps[key]
+
     def _build_steps(self):
-        cfg = self.cfg
-        model, loss_fn, tx, schedule = (self.model, self.loss_fn, self.tx,
-                                        self.schedule)
+        self._size_steps = {}
+        base_hw = self.cfg.input_image_size[:2]
+        self._size_steps[(base_hw[0], base_hw[1])] = self._compile_steps(
+            self.cfg, self.loss_fn)
+        self.train_step, self.eval_step, self.forward = \
+            self._size_steps[(base_hw[0], base_hw[1])]
+
+    def _compile_steps(self, cfg, loss_fn):
+        model, tx, schedule = self.model, self.tx, self.schedule
 
         def train_step(state: TrainState, images, labels):
-            rng, new_rng = jax.random.split(state.rng)
+            key = jax.random.wrap_key_data(state.rng, impl="rbg")
+            rng, new_key = jax.random.split(key)
+            new_rng = jax.random.key_data(new_key)
             if cfg.is_augment:
                 images = augment_batch(rng, images)
 
@@ -134,16 +168,17 @@ class YOLOv3Trainer:
 
         data_shard = batch_sharding(self.mesh, self.cfg.data_axis)
         repl = replicated(self.mesh)
-        self.train_step = jax.jit(
-            train_step,
-            in_shardings=(repl, data_shard, data_shard),
-            out_shardings=(repl, repl),
-            donate_argnums=(0,))
-        self.eval_step = jax.jit(
-            eval_step, in_shardings=(repl, data_shard, data_shard),
-            out_shardings=repl)
-        self.forward = jax.jit(
-            forward, in_shardings=(repl, data_shard), out_shardings=repl)
+        return (
+            jax.jit(train_step,
+                    in_shardings=(repl, data_shard, data_shard),
+                    out_shardings=(repl, repl),
+                    donate_argnums=(0,)),
+            jax.jit(eval_step,
+                    in_shardings=(repl, data_shard, data_shard),
+                    out_shardings=repl),
+            jax.jit(forward, in_shardings=(repl, data_shard),
+                    out_shardings=repl),
+        )
 
     # ------------------------------------------------------------------ #
     def train(self, train_batches: Iterator, val_batches=None,
@@ -202,6 +237,45 @@ class YOLOv3Trainer:
                 if patience >= cfg.stop_patience:
                     logging.info("early stopping at epoch %d", epoch)
                     break
+        self.ckpt.save(int(self.state.step), self.state, force=True)
+
+    # ------------------------------------------------------------------ #
+    def train_multi_scale(self, batches_by_size, epochs=None,
+                          steps_per_epoch=None):
+        """Multi-scale training: cycle input sizes per epoch.
+
+        batches_by_size: {(H, W): batch iterator}.  Each size uses its own
+        cached jitted step; params/optimizer state are shared (the model is
+        fully convolutional).
+        """
+        cfg = self.cfg
+        epochs = epochs if epochs is not None else cfg.epoch
+        spe = steps_per_epoch or cfg.steps_per_epoch
+        sizes = list(batches_by_size.keys())
+        start_epoch = int(self.state.step) // spe
+        for epoch in range(start_epoch, epochs):
+            hw = sizes[epoch % len(sizes)]
+            step_fn = self.steps_for_size(hw)[0]
+            it = batches_by_size[hw]
+            t0 = time.time()
+            acc, n = None, 0
+            for _ in range(spe):
+                batch = next(it)
+                self.state, metrics = step_fn(
+                    self.state, jnp.asarray(batch.images),
+                    jnp.asarray(batch.labels))
+                acc = metrics if acc is None else jax.tree.map(
+                    lambda a, b: a + b, acc, metrics)
+                n += 1
+            mean = jax.tree.map(lambda a: np.asarray(a) / n, acc)
+            total = float(mean["total_loss"])
+            log_epoch(epoch, float(np.asarray(metrics["lr"])), total,
+                      float(mean["kernel_reg"]), float(mean["gamma_reg"]),
+                      mean, time.time() - t0)
+            logging.info("  (multi-scale size %sx%s)", hw[0], hw[1])
+            self.history.append(total)
+            if (epoch + 1) % cfg.ckpt_period == 0:
+                self.ckpt.save(int(self.state.step), self.state)
         self.ckpt.save(int(self.state.step), self.state, force=True)
 
     # ------------------------------------------------------------------ #
