@@ -5,10 +5,14 @@ implementation is redesigned for TPU/XLA:
 
   * The reference loops over the batch with ``tf.map_fn(...,
     parallel_iterations=1)`` (yolov3_loss.py:111), serializing the loss.
-    Here every step is batched: the (H,W,B) x (M) IOU table is one broadcast
-    (yolov3_loss.py:275-279), responsible-cell lookups are batched gathers,
-    and the object mask is a scatter-max instead of ``tf.sparse_to_dense``
-    (yolov3_loss.py:328-329).
+    Here every step is batched and laid out for the VPU/MXU:
+    - all per-candidate math runs on FLAT (N, H*W*B) arrays so the minor
+      (128-lane) axis is always large — the naive (N,H,W,B,M) layout puts
+      M=32 on the lanes and wastes 3/4 of the vector unit;
+    - responsible-cell lookups (tf.gather_nd, yolov3_loss.py:271,281) are
+      one-hot matmuls on the MXU instead of gathers;
+    - the object mask (tf.sparse_to_dense, yolov3_loss.py:328-329) is a
+      one-hot einsum instead of a scatter.
   * Dynamic ``valid_num`` shapes (yolov3_loss.py:240-247) become a static
     ``max_boxes`` dimension with multiplicative masks; masked entries are
     sanitized BEFORE any log/div so no NaN can leak through ``where``
@@ -39,75 +43,55 @@ advances by the batch size only while active (yolov3_loss.py:151-152).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import Config
-from .decoder import YOLOv3Decoder
-from .labels import LabelDecoder, valid_mask
+from .decoder import anchors_in_grid_units
+from .labels import valid_mask
 
 _EPS_DIV = 1e-12
 
 
-def _corner_iou(boxes_a, boxes_b, area_a, area_b, tiou_recall: bool):
-    """IOU of corner boxes with broadcast; returns (iou, inter_area).
-    Matches yolov3_loss.py:274-299 (incl. the optional TIOU-recall factor
-    iou * inter / target_area, where b is the target)."""
-    lt = jnp.maximum(boxes_a[..., 0:2], boxes_b[..., 0:2])
-    rb = jnp.minimum(boxes_a[..., 2:4], boxes_b[..., 2:4])
-    wh = jnp.maximum(rb - lt, 0.0)
-    inter = wh[..., 0] * wh[..., 1]
-    denom = jnp.maximum(area_a + area_b - inter, _EPS_DIV)
-    iou = inter / denom
-    if tiou_recall:
-        iou = iou * inter / jnp.maximum(area_b, _EPS_DIV)
-    return iou
+def _flat_decode(raw, grid_hw, anchors, class_num, eps):
+    """Decode one head into flat component arrays.
 
-
-def _head_response(decoded, boxes, t_grid, t_boxes, valid, grid_hw,
-                   tiou_recall):
-    """Per-head responsible-cell statistics (yolov3_loss.py:254-303).
-
-    Returns dict with:
-      max_iou     (N,H,W,B)  max IOU of every predicted box vs all GT
-      resp_iou    (N,M)      responsible-cell best-anchor IOU per GT
-      best_b      (N,M)      argmax anchor index
-      row, col    (N,M)      responsible cell indices
-      resp_pred   (N,M,L)    decoded prediction at (row, col, best_b)
+    raw: (N, H, W, B*L).  Returns dict of (N, HWB) arrays plus optional
+    class probs (N, HWB, C), matching yolov3_decoder.py:142-192 math.
     """
     h, w = grid_hw
-    n = decoded.shape[0]
-    # every-grid-anchor IOU vs every GT -> background statistic
-    pred_area = decoded[..., 2] * decoded[..., 3]  # (N,H,W,B)
-    t_area = t_grid[..., 2] * t_grid[..., 3]  # (N,M)
-    iou_all = _corner_iou(
-        boxes[:, :, :, :, None, :],  # (N,H,W,B,1,4)
-        t_boxes[:, None, None, None, :, :],  # (N,1,1,1,M,4)
-        pred_area[..., None],
-        t_area[:, None, None, None, :],
-        tiou_recall,
-    )  # (N,H,W,B,M)
-    iou_all = iou_all * valid[:, None, None, None, :]
-    max_iou = jnp.max(iou_all, axis=-1)  # (N,H,W,B)
+    b = anchors.shape[0]
+    n = raw.shape[0]
+    box_len = 4 + 1 + class_num
+    raw = raw.astype(jnp.float32).reshape(n, h * w * b, box_len)
+    hwb = h * w * b
 
-    # responsible cell: floor of the grid-unit centre (yolov3_loss.py:269-271)
-    col = jnp.clip(jnp.floor(t_grid[..., 0]).astype(jnp.int32), 0, w - 1)
-    row = jnp.clip(jnp.floor(t_grid[..., 1]).astype(jnp.int32), 0, h - 1)
-    bidx = jnp.broadcast_to(jnp.arange(n)[:, None], row.shape)
-    resp_pred_all = decoded[bidx, row, col]  # (N,M,B,L)
-    resp_boxes = boxes[bidx, row, col]  # (N,M,B,4)
-    resp_area = resp_pred_all[..., 2] * resp_pred_all[..., 3]  # (N,M,B)
-    resp_iou_all = _corner_iou(resp_boxes, t_boxes[:, :, None, :],
-                               resp_area, t_area[..., None],
-                               tiou_recall)  # (N,M,B)
-    resp_iou = jnp.max(resp_iou_all, axis=-1)  # (N,M)
-    best_b = jnp.argmax(resp_iou_all, axis=-1).astype(jnp.int32)  # (N,M)
-    resp_pred = jnp.take_along_axis(
-        resp_pred_all, best_b[..., None, None], axis=2)[:, :, 0, :]  # (N,M,L)
-    return dict(max_iou=max_iou, resp_iou=resp_iou, best_b=best_b,
-                row=row, col=col, resp_pred=resp_pred)
+    # per-position grid left-top and anchor size, flat (HWB,)
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    ltx = jnp.asarray(np.repeat(xs.reshape(-1), b).astype(np.float32))
+    lty = jnp.asarray(np.repeat(ys.reshape(-1), b).astype(np.float32))
+    aw = jnp.asarray(np.tile(np.asarray(anchors)[:, 0], h * w))
+    ah = jnp.asarray(np.tile(np.asarray(anchors)[:, 1], h * w))
+
+    sig = lambda v: jnp.clip(1.0 / (1.0 + jnp.exp(-v)), eps, 1.0 - eps)
+    px = sig(raw[..., 0]) + ltx
+    py = sig(raw[..., 1]) + lty
+    pw = jnp.exp(raw[..., 2]) * aw
+    ph = jnp.exp(raw[..., 3]) * ah
+    score = sig(raw[..., 4])
+    out = dict(px=px, py=py, pw=pw, ph=ph, score=score, raw=raw,
+               x0=px - pw / 2, y0=py - ph / 2,
+               x1=px + pw / 2, y1=py + ph / 2)
+    if class_num >= 1:
+        logits = raw[..., 5:]
+        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits)
+        out["probs"] = jnp.clip(e / jnp.sum(e, axis=-1, keepdims=True),
+                                eps, 1.0 - eps)
+    return out
 
 
 class YOLOv3Loss:
@@ -116,37 +100,120 @@ class YOLOv3Loss:
 
     def __init__(self, cfg: Config):
         self.cfg = cfg
-        self.pred_decoder = YOLOv3Decoder(cfg)
-        self.label_decoder = LabelDecoder(cfg)
         # loss_weights rows are per-head [xy, wh, noobj, obj, cls]
         # (configs.py:52, yolov3_loss.py:46-47)
         self.weights = jnp.asarray(cfg.loss_weights, jnp.float32)  # (3,5)
-        self.rect_weights = jnp.asarray(cfg.rectified_loss_weight, jnp.float32)
+        self.rect_weights = jnp.asarray(cfg.rectified_loss_weight,
+                                        jnp.float32)
+        self.anchors = [anchors_in_grid_units(a, g)
+                        for a, g in zip(cfg.anchor_boxes,
+                                        cfg.head_grid_sizes)]
 
+    # ------------------------------------------------------------------ #
+    def _head_stats(self, raw, t_grid, t_boxes, valid, head_idx):
+        """Per-head statistics, flat layout.
+
+        Returns dict with max_iou (N,HWB), resp_iou (N,M), best_b (N,M),
+        cell one-hot (N,M,HW), resp (N,M,L) decoded prediction at the best
+        anchor, dec (flat decode dict).
+        """
+        cfg = self.cfg
+        h, w = cfg.head_grid_sizes[head_idx]
+        b = len(cfg.anchor_boxes[head_idx])
+        n, m = valid.shape
+        dec = _flat_decode(raw, (h, w), self.anchors[head_idx],
+                           cfg.class_num, cfg.epsilon)
+        hwb = h * w * b
+
+        # --- every-candidate IOU vs every GT (background statistic) ---
+        pred_area = dec["pw"] * dec["ph"]  # (N,HWB)
+        t_area = t_grid[..., 2] * t_grid[..., 3]  # (N,M)
+        ix = jnp.minimum(dec["x1"][:, None, :], t_boxes[..., 2][..., None]) \
+            - jnp.maximum(dec["x0"][:, None, :], t_boxes[..., 0][..., None])
+        iy = jnp.minimum(dec["y1"][:, None, :], t_boxes[..., 3][..., None]) \
+            - jnp.maximum(dec["y0"][:, None, :], t_boxes[..., 1][..., None])
+        inter = jnp.maximum(ix, 0.0) * jnp.maximum(iy, 0.0)  # (N,M,HWB)
+        denom = jnp.maximum(
+            pred_area[:, None, :] + t_area[..., None] - inter, _EPS_DIV)
+        iou = inter / denom
+        if cfg.is_tiou_recall:
+            iou = iou * inter / jnp.maximum(t_area[..., None], _EPS_DIV)
+        iou = iou * valid[..., None]
+        max_iou = jnp.max(iou, axis=1)  # (N,HWB)
+
+        # --- responsible cell (yolov3_loss.py:269-271) ---
+        col = jnp.clip(jnp.floor(t_grid[..., 0]).astype(jnp.int32), 0, w - 1)
+        row = jnp.clip(jnp.floor(t_grid[..., 1]).astype(jnp.int32), 0, h - 1)
+        cell = row * w + col  # (N,M)
+        onehot = jax.nn.one_hot(cell, h * w, dtype=jnp.float32)  # (N,M,HW)
+
+        # gather decoded at responsible cells via one matmul: components
+        # packed (N, HW, B*K)
+        comps = [dec["px"], dec["py"], dec["pw"], dec["ph"], dec["score"]]
+        if cfg.class_num >= 1:
+            probs = dec["probs"]  # (N,HWB,C)
+            comp_mat = jnp.concatenate(
+                [jnp.stack(comps, axis=-1), probs], axis=-1)
+        else:
+            comp_mat = jnp.stack(comps, axis=-1)  # (N,HWB,K)
+        k = comp_mat.shape[-1]
+        comp_mat = comp_mat.reshape(n, h * w, b * k)
+        resp_all = jax.lax.dot_general(
+            onehot, comp_mat, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).reshape(n, m, b, k)
+
+        # best anchor by IOU of the responsible cell's predicted boxes
+        # (yolov3_loss.py:281-303)
+        rx, ry, rw, rh = (resp_all[..., 0], resp_all[..., 1],
+                          resp_all[..., 2], resp_all[..., 3])
+        rx0, ry0 = rx - rw / 2, ry - rh / 2
+        rx1, ry1 = rx + rw / 2, ry + rh / 2
+        rix = jnp.minimum(rx1, t_boxes[..., 2][..., None]) \
+            - jnp.maximum(rx0, t_boxes[..., 0][..., None])
+        riy = jnp.minimum(ry1, t_boxes[..., 3][..., None]) \
+            - jnp.maximum(ry0, t_boxes[..., 1][..., None])
+        rinter = jnp.maximum(rix, 0.0) * jnp.maximum(riy, 0.0)  # (N,M,B)
+        rdenom = jnp.maximum(rw * rh + t_area[..., None] - rinter, _EPS_DIV)
+        riou = rinter / rdenom
+        if cfg.is_tiou_recall:
+            riou = riou * rinter / jnp.maximum(t_area[..., None], _EPS_DIV)
+        resp_iou = jnp.max(riou, axis=-1)  # (N,M)
+        best_b = jnp.argmax(riou, axis=-1).astype(jnp.int32)  # (N,M)
+        resp = jnp.take_along_axis(
+            resp_all, best_b[..., None, None], axis=2)[:, :, 0, :]  # (N,M,K)
+        return dict(max_iou=max_iou, resp_iou=resp_iou, best_b=best_b,
+                    onehot=onehot, resp=resp, dec=dec, hw=(h, w), b=b)
+
+    # ------------------------------------------------------------------ #
     def __call__(self, raw_heads: Sequence, targets, image_count):
         cfg = self.cfg
         eps = cfg.epsilon
-        decoded_heads = self.pred_decoder.decode(raw_heads)
         if targets.ndim == 2:
             targets = targets.reshape(targets.shape[0], -1, 5)
         targets = targets.astype(jnp.float32)
-        label_heads = self.label_decoder.decode(targets)
         valid = valid_mask(targets)  # (N,M)
         n = targets.shape[0]
 
-        # per-head response stats (with sanitized padding rows)
         stats = []
+        t_grids = []
         for i in range(3):
-            _, decoded, boxes = decoded_heads[i]
-            t_grid, t_boxes = label_heads[i]
+            h, w = cfg.head_grid_sizes[i]
+            wh_scale = jnp.asarray([w, h], jnp.float32)
+            txy = targets[..., 0:2] * wh_scale
+            twh = targets[..., 2:4] * wh_scale
+            t_grid = jnp.concatenate([txy, twh, targets[..., 4:5]], axis=-1)
             t_grid = jnp.where(valid[..., None] > 0, t_grid, 0.0)
-            t_boxes = jnp.where(valid[..., None] > 0, t_boxes, 0.0)
-            stats.append(_head_response(decoded, boxes, t_grid, t_boxes,
-                                        valid, cfg.head_grid_sizes[i],
-                                        cfg.is_tiou_recall))
+            half = t_grid[..., 2:4] / 2.0
+            t_boxes = jnp.concatenate(
+                [t_grid[..., 0:2] - half, t_grid[..., 0:2] + half], axis=-1)
+            t_grids.append(t_grid)
+            raw = raw_heads[i]
+            if raw.ndim == 5:
+                raw = raw.reshape(raw.shape[0], raw.shape[1], raw.shape[2],
+                                  -1)
+            stats.append(self._head_stats(raw, t_grid, t_boxes, valid, i))
 
-        # cross-head arbitration (yolov3_loss.py:202-208): >= ties assign to
-        # multiple heads
+        # cross-head arbitration (yolov3_loss.py:202-208)
         r = [s["resp_iou"] for s in stats]
         assign = [
             (r[0] >= r[1]) & (r[0] >= r[2]),
@@ -154,30 +221,31 @@ class YOLOv3Loss:
             (r[2] >= r[0]) & (r[2] >= r[1]),
         ]
 
-        per_head = []  # list of (5,) loss vectors
+        per_head = []
         for i in range(3):
-            _, decoded, _ = decoded_heads[i]
-            t_grid, _ = label_heads[i]
-            t_grid = jnp.where(valid[..., None] > 0, t_grid, 0.0)
             s = stats[i]
-            h, w = cfg.head_grid_sizes[i]
+            t_grid = t_grids[i]
+            h, w = s["hw"]
+            b = s["b"]
             wgt = assign[i].astype(jnp.float32) * valid  # (N,M)
 
-            # object mask via scatter-max (replaces sparse_to_dense,
-            # yolov3_loss.py:328-329)
-            bidx = jnp.broadcast_to(jnp.arange(n)[:, None], wgt.shape)
-            obj_mask = jnp.zeros(decoded.shape[:4], jnp.float32).at[
-                bidx, s["row"], s["col"], s["best_b"]].max(wgt)
+            # object mask via one-hot einsum (replaces sparse_to_dense)
+            bhot = jax.nn.one_hot(s["best_b"], b, dtype=jnp.float32)
+            contrib = jax.lax.dot_general(
+                s["onehot"] * wgt[..., None], bhot,
+                (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)  # (N,HW,B)
+            obj_mask = jnp.minimum(contrib, 1.0).reshape(n, h * w * b)
             background = (s["max_iou"] < cfg.iou_thresh).astype(
                 jnp.float32) * (1.0 - obj_mask)
 
-            score = decoded[..., 4]  # (N,H,W,B), already clipped
+            score = s["dec"]["score"]  # (N,HWB)
             noobj = -jnp.log(1.0 - score)
             if cfg.is_focal_loss:
                 noobj = noobj * jnp.power(score, cfg.focal_gamma)
-            noobj_loss = jnp.mean(jnp.sum(noobj * background, axis=(1, 2, 3)))
+            noobj_loss = jnp.mean(jnp.sum(noobj * background, axis=1))
 
-            resp = s["resp_pred"]  # (N,M,L)
+            resp = s["resp"]  # (N,M,K)
             resp_score = resp[..., 4]
             obj = -jnp.log(resp_score)
             if cfg.is_focal_loss:
@@ -187,7 +255,7 @@ class YOLOv3Loss:
 
             # coordinate losses (yolov3_loss.py:348-359)
             scale = (2.0 - t_grid[..., 2] * t_grid[..., 3] / float(h * w))
-            scale = scale[..., None]  # (N,M,1)
+            scale = scale[..., None]
             coord_int = jnp.floor(t_grid[..., 0:2])
             t_frac = t_grid[..., 0:2] - coord_int
             p_frac = jnp.clip(resp[..., 0:2] - coord_int, eps, 1.0 - eps)
@@ -197,14 +265,16 @@ class YOLOv3Loss:
                 jnp.sum(scale * bce * wgt[..., None], axis=(1, 2)))
 
             t_wh = jnp.where(valid[..., None] > 0, t_grid[..., 2:4], 1.0)
-            wh_sq = jnp.square(jnp.log(t_wh) - jnp.log(resp[..., 2:4]))
+            wh_sq = jnp.square(jnp.log(t_wh) - jnp.log(
+                jnp.maximum(resp[..., 2:4], _EPS_DIV)))
             wh_loss = jnp.mean(
                 jnp.sum(scale * wh_sq * wgt[..., None], axis=(1, 2)))
 
             if cfg.class_num >= 1:
-                onehot = jax.nn.one_hot(t_grid[..., 4].astype(jnp.int32),
-                                        cfg.class_num)
-                ce = -onehot * jnp.log(resp[..., 5:])
+                onehot_c = jax.nn.one_hot(t_grid[..., 4].astype(jnp.int32),
+                                          cfg.class_num)
+                ce = -onehot_c * jnp.log(
+                    jnp.clip(resp[..., 5:], eps, 1.0))
                 cls_loss = jnp.mean(
                     jnp.sum(ce * wgt[..., None], axis=(1, 2)))
             else:
@@ -221,8 +291,8 @@ class YOLOv3Loss:
 
         # rectified coord loss (yolov3_loss.py:140-164)
         rect = jnp.stack([
-            self.rect_weights[i] * jnp.mean(
-                jnp.sum(jnp.square(decoded_heads[i][0]), axis=(1, 2, 3, 4)))
+            self.rect_weights[i] * jnp.mean(jnp.sum(
+                jnp.square(stats[i]["dec"]["raw"][..., 0:4]), axis=(1, 2)))
             for i in range(3)])  # (3,)
         active = (image_count <= cfg.rectified_coord_num).astype(jnp.float32)
         rect = rect * active
