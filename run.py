@@ -90,7 +90,7 @@ def test(cfg, trainer):
         heads = trainer.predict(batch.images)
         per_image = post.process(heads)
         for img, labels, path, head_boxes in zip(
-                batch.images, batch.labels, batch.paths, per_image):
+                batch.images_float(), batch.labels, batch.paths, per_image):
             in_boxes = resize_boxes(head_boxes, input_box_size)
             if cfg.save_path:
                 out = os.path.join(cfg.save_path, os.path.basename(path))

@@ -55,8 +55,10 @@ def test_loader_on_reference_sample(sample_paths):
     batch = next(ds.batches())
     assert batch.images.shape == (4, 96, 128, 3)
     assert batch.labels.shape == (4, 8, 5)
-    assert batch.images.dtype == np.float32
-    assert 0.0 <= batch.images.min() and batch.images.max() <= 1.0
+    assert batch.images.dtype == np.uint8  # normalized on-device
+    f = batch.images_float()
+    assert f.dtype == np.float32
+    assert 0.0 <= f.min() and f.max() <= 1.0
     # -1 padding only in trailing rows
     for lab in batch.labels:
         valid = lab[:, 0] >= 0

@@ -110,10 +110,15 @@ class Config:
     is_gradient_harmonized: bool = False
     is_tiou_recall: bool = False
 
-    # piecewise LR schedule (configs.py:14-20)
+    # piecewise LR schedule (configs.py:14-20).  The check_* arrays are the
+    # reference's manual LR-range-finding protocol (configs.py:14-15): set
+    # step_epoch/step_lr to them to sweep learning rates early in a project.
     step_epoch: Tuple[int, ...] = (20, 60, 80, 220, 260, 280, 300)
     step_lr: Tuple[float, ...] = (
         0.01e-3, 1.0e-3, 0.1e-3, 1.0e-3, 0.1e-3, 0.01e-3, 0.001e-3)
+    check_step_epoch: Tuple[int, ...] = (2, 4, 6, 8, 10, 12, 14)
+    check_step_lr: Tuple[float, ...] = (
+        0.00001e-3, 0.0001e-3, 0.001e-3, 0.01e-3, 0.1e-3, 1.0e-3, 10.0e-3)
 
     # --- callbacks / checkpointing (configs.py:84-96) ---
     ckpt_period: int = 50

@@ -39,9 +39,16 @@ class Example(NamedTuple):
 
 
 class Batch(NamedTuple):
-    images: np.ndarray  # (N, H, W, 3) float32 BGR in [0, 1]
+    images: np.ndarray  # (N, H, W, 3) uint8 BGR (normalized on-device)
     labels: np.ndarray  # (N, max_boxes, 5) float32, -1 padded
     paths: Optional[Tuple[str, ...]] = None
+
+    def images_float(self) -> np.ndarray:
+        """Host-side float view for visualization (the device path
+        normalizes inside the jitted step)."""
+        if self.images.dtype == np.uint8:
+            return self.images.astype(np.float32) / 255.0
+        return self.images
 
 
 def parse_label_file(file_path: str, root_path: str) -> List[Example]:
@@ -87,17 +94,23 @@ def transform_labels(labels: np.ndarray, src_hw, dst_hw) -> np.ndarray:
     return out
 
 
-def load_image(path: str, dst_hw: Tuple[int, int]) -> np.ndarray:
-    """JPEG decode -> NEAREST letterbox -> float32 [0,1] -> BGR
-    (file_util.py:44-59)."""
+def load_image(path: str, dst_hw: Tuple[int, int],
+               as_float: bool = True) -> np.ndarray:
+    """JPEG decode -> NEAREST letterbox -> BGR (file_util.py:44-59).
+
+    as_float=True gives the reference's float32 [0,1]; as_float=False keeps
+    uint8 — the Dataset ships uint8 to the device (4x less host->device
+    traffic and RAM) and the train step normalizes on-device."""
     img = Image.open(path).convert("RGB")
     sw, sh = img.size
     (rh, rw), (pt, pl) = letterbox_geometry((sh, sw), dst_hw)
     img = img.resize((rw, rh), Image.NEAREST)
     canvas = np.zeros((dst_hw[0], dst_hw[1], 3), np.uint8)
     canvas[pt:pt + rh, pl:pl + rw] = np.asarray(img, np.uint8)
-    out = canvas.astype(np.float32) / 255.0
-    return out[..., ::-1].copy()  # RGB -> BGR
+    bgr = canvas[..., ::-1]
+    if as_float:
+        return bgr.astype(np.float32) / 255.0
+    return bgr.copy()
 
 
 def pad_labels(labels: np.ndarray, max_boxes: int) -> np.ndarray:
@@ -145,7 +158,8 @@ class Dataset:
     def _image(self, idx: int) -> np.ndarray:
         if self._cache is not None and idx in self._cache:
             return self._cache[idx]
-        img = load_image(self.examples[idx].path, self.dst_hw)
+        img = load_image(self.examples[idx].path, self.dst_hw,
+                         as_float=False)
         if self._cache is not None:
             self._cache[idx] = img
         return img

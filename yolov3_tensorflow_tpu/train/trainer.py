@@ -118,10 +118,18 @@ class YOLOv3Trainer:
     def _compile_steps(self, cfg, loss_fn):
         model, tx, schedule = self.model, self.tx, self.schedule
 
+        def normalize(images):
+            """uint8 batches are normalized on-device (1/255, like the
+            reference's convert_image_dtype, file_util.py:58)."""
+            if jnp.issubdtype(images.dtype, jnp.integer):
+                return images.astype(jnp.float32) * (1.0 / 255.0)
+            return images.astype(jnp.float32)
+
         def train_step(state: TrainState, images, labels):
             key = jax.random.wrap_key_data(state.rng, impl="rbg")
             rng, new_key = jax.random.split(key)
             new_rng = jax.random.key_data(new_key)
+            images = normalize(images)
             if cfg.is_augment:
                 images = augment_batch(rng, images)
 
@@ -155,7 +163,7 @@ class YOLOv3Trainer:
         def eval_step(state: TrainState, images, labels):
             heads = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
-                images, train=False)
+                normalize(images), train=False)
             total, breakdown, _ = loss_fn(heads, labels, state.image_count)
             metrics = dict(breakdown)
             metrics["total_loss"] = total
@@ -164,7 +172,7 @@ class YOLOv3Trainer:
         def forward(state: TrainState, images):
             return model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
-                images, train=False)
+                normalize(images), train=False)
 
         data_shard = batch_sharding(self.mesh, self.cfg.data_axis)
         repl = replicated(self.mesh)
@@ -282,7 +290,7 @@ class YOLOv3Trainer:
     def predict(self, images) -> tuple:
         """Raw 3-head outputs for a batch (trainer.py:117-124).  Batches not
         divisible by the mesh data axis are padded then sliced back."""
-        images = jnp.asarray(images, jnp.float32)
+        images = jnp.asarray(images)  # uint8 or float; normalized in-step
         n = images.shape[0]
         d = self.mesh.shape[self.cfg.data_axis]
         pad = (-n) % d
