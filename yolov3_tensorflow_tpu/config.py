@@ -99,6 +99,9 @@ class Config:
     batch_size: int = 3
     epoch: int = 300
     init_lr: float = 0.0002
+    # optional global-norm gradient clipping (off by default: the reference
+    # has none; useful against the schedule's warm-restart LR spikes)
+    grad_clip_norm: float | None = None
     mode: str = "train"  # train, test, predict, save_pb, save_serving
     model_backbone: str = BACKBONE_RESNET_18
     optimizer: str = "radam"  # sgdm, adam, radam

@@ -44,7 +44,8 @@ def decode_single_head(raw, left_top, anchors, class_num: int, eps: float):
     xy = jnp.clip(jnp.asarray(1.0, jnp.float32) /
                   (1.0 + jnp.exp(-raw[..., 0:2])), eps, 1.0 - eps)
     xy = xy + left_top
-    wh = jnp.exp(raw[..., 2:4]) * anchors
+    # exp clamp mirrors ops/loss.py: overflow guard, inactive normally
+    wh = jnp.exp(jnp.clip(raw[..., 2:4], -15.0, 15.0)) * anchors
     score = jnp.clip(1.0 / (1.0 + jnp.exp(-raw[..., 4:5])), eps, 1.0 - eps)
     if class_num >= 1:
         logits = raw[..., 5:]

@@ -79,8 +79,12 @@ def _flat_decode(raw, grid_hw, anchors, class_num, eps):
     sig = lambda v: jnp.clip(1.0 / (1.0 + jnp.exp(-v)), eps, 1.0 - eps)
     px = sig(raw[..., 0]) + ltx
     py = sig(raw[..., 1]) + lty
-    pw = jnp.exp(raw[..., 2]) * aw
-    ph = jnp.exp(raw[..., 3]) * ah
+    # exp clamp: |t_wh| <= 15 never binds in the normal regime (|t| < 3)
+    # but keeps areas finite when training spikes (the reference schedule
+    # jumps the LR back up at epoch 81, configs.py:17 — an unguarded exp
+    # overflows f32 there and NaN-poisons the weights permanently)
+    pw = jnp.exp(jnp.clip(raw[..., 2], -15.0, 15.0)) * aw
+    ph = jnp.exp(jnp.clip(raw[..., 3], -15.0, 15.0)) * ah
     score = sig(raw[..., 4])
     out = dict(px=px, py=py, pw=pw, ph=ph, score=score, raw=raw,
                x0=px - pw / 2, y0=py - ph / 2,

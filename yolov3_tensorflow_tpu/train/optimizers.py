@@ -99,6 +99,9 @@ def make_optimizer(cfg: Config,
         core = scale_by_radam(eps=cfg.epsilon)
     else:
         raise ValueError(f"unknown optimizer {name!r}")
-    tx = optax.chain(core, optax.scale_by_schedule(
-        lambda step: -schedule(step)))
+    parts = []
+    if cfg.grad_clip_norm:
+        parts.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+    parts += [core, optax.scale_by_schedule(lambda step: -schedule(step))]
+    tx = optax.chain(*parts)
     return tx, schedule
