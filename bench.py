@@ -6,6 +6,10 @@ Baseline target: 5000 images/sec/chip on TPU v5e (BASELINE.md).
 Measures the full jitted train step (on-device augmentation + forward +
 loss + backward + RAdam update) on the flagship ResNet-18 YOLOv3 with
 synthetic device-resident data, steady-state, excluding compilation.
+
+``python bench.py --infer [batch steps]`` instead measures the full
+inference path (forward + decode + batched on-device NMS), the
+reference's host-Python post-process bottleneck made device-native.
 """
 from __future__ import annotations
 
@@ -16,6 +20,50 @@ import time
 import numpy as np
 
 BASELINE_IMG_S = 5000.0
+
+
+def main_infer(args):
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from yolov3_tensorflow_tpu.config import Config
+    from yolov3_tensorflow_tpu.ops.nms import BatchedNMS
+    from yolov3_tensorflow_tpu.train.trainer import YOLOv3Trainer
+
+    batch = int(args[0]) if args else 64
+    steps = int(args[1]) if len(args) > 1 else 20
+    cfg = Config(input_image_size=(416, 416, 3), batch_size=batch,
+                 max_boxes=32, num_devices=1, confidence_thresh=0.5)
+    trainer = YOLOv3Trainer(cfg, restore=False,
+                            checkpoint_dir=tempfile.mkdtemp())
+    nms = BatchedNMS(cfg)
+
+    @jax.jit
+    def infer(state, images):
+        heads = trainer.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images.astype(jnp.float32) / 255.0, train=False)
+        return nms(heads)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randint(0, 255, (batch, 416, 416, 3),
+                                     dtype=np.uint8))
+    det = infer(trainer.state, images)
+    _ = float(jnp.sum(det))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        det = infer(trainer.state, images)
+    _ = float(jnp.sum(det))
+    dt = time.perf_counter() - t0
+    img_s = batch * steps / dt
+    print(json.dumps({
+        "metric": "infer_images_per_sec_batched_nms_416",
+        "value": round(img_s, 2),
+        "unit": "img/s",
+        "vs_baseline": None,  # the reference publishes no number
+    }))
 
 
 def main():
@@ -69,4 +117,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--infer":
+        main_infer(sys.argv[2:])
+    else:
+        main()

@@ -115,6 +115,31 @@ def test_empty_image_and_gradients_finite():
     assert np.asarray(bd["noobj_iou_loss"]).sum() > 0
 
 
+def test_gradients_finite_at_extreme_logits():
+    """Regression: the naive sigmoid expression's autodiff is inf/inf=NaN
+    below logit ~-88; the noobj term drives logits there in long runs.
+    Found as a sudden weight NaN at epoch 110 of a healthy training run."""
+    cfg = _mk_cfg()
+    heads = [jnp.full((1, h, w, c), -120.0)
+             for (h, w), c in zip(cfg.head_grid_sizes,
+                                  cfg.head_channel_nums)]
+    t = _targets(1, 3, {(0, 0): [0.5, 0.5, 0.2, 0.2, 0]})
+    loss = YOLOv3Loss(cfg)
+
+    def total(hs):
+        l, _, _ = loss(hs, t, jnp.asarray(10 ** 9, jnp.int32))
+        return l
+
+    val = total(heads)
+    grads = jax.grad(total)(heads)
+    assert bool(jnp.isfinite(val))
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in grads)
+    # and at extreme positive logits (exp side)
+    heads_hi = [jnp.full_like(h, 120.0) for h in heads]
+    grads = jax.grad(total)(heads_hi)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in grads)
+
+
 def test_cross_head_assignment_unique_when_no_tie():
     """A small object should normally win on exactly one head."""
     cfg = _mk_cfg(rectified_coord_num=-1)

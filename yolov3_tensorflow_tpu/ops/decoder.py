@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -41,17 +42,15 @@ def anchors_in_grid_units(anchor_boxes, grid_hw) -> np.ndarray:
 def decode_single_head(raw, left_top, anchors, class_num: int, eps: float):
     """raw: (N, H, W, B, 5+C) -> (raw_txywh, decoded, corner_boxes)."""
     raw = raw.astype(jnp.float32)
-    xy = jnp.clip(jnp.asarray(1.0, jnp.float32) /
-                  (1.0 + jnp.exp(-raw[..., 0:2])), eps, 1.0 - eps)
+    # jax.nn.sigmoid for a gradient that is finite at extreme logits
+    # (see ops/loss.py _flat_decode note)
+    xy = jnp.clip(jax.nn.sigmoid(raw[..., 0:2]), eps, 1.0 - eps)
     xy = xy + left_top
     # exp clamp mirrors ops/loss.py: overflow guard, inactive normally
     wh = jnp.exp(jnp.clip(raw[..., 2:4], -15.0, 15.0)) * anchors
-    score = jnp.clip(1.0 / (1.0 + jnp.exp(-raw[..., 4:5])), eps, 1.0 - eps)
+    score = jnp.clip(jax.nn.sigmoid(raw[..., 4:5]), eps, 1.0 - eps)
     if class_num >= 1:
-        logits = raw[..., 5:]
-        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-        probs = jnp.clip(jnp.exp(logits) /
-                         jnp.sum(jnp.exp(logits), axis=-1, keepdims=True),
+        probs = jnp.clip(jax.nn.softmax(raw[..., 5:], axis=-1),
                          eps, 1.0 - eps)
         decoded = jnp.concatenate([xy, wh, score, probs], axis=-1)
     else:

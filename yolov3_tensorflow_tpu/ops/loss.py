@@ -54,6 +54,13 @@ from .decoder import anchors_in_grid_units
 from .labels import valid_mask
 
 _EPS_DIV = 1e-12
+# Top clip bound for probabilities.  The reference clips at 1 - 1e-8
+# (keras epsilon, run.py:26) which in float32 rounds to exactly 1.0 — a
+# no-op — so its -log(1-score) can still hit -inf on saturated logits and
+# NaN the loss through the 0-background mask.  1 - 1e-7 IS representable
+# below 1.0f (one ulp), making every log finite.  Intentional hardening
+# divergence from the reference.
+_SAFE_HI = float(np.float32(1.0) - np.float32(1e-7))
 
 
 def _flat_decode(raw, grid_hw, anchors, class_num, eps):
@@ -76,7 +83,11 @@ def _flat_decode(raw, grid_hw, anchors, class_num, eps):
     aw = jnp.asarray(np.tile(np.asarray(anchors)[:, 0], h * w))
     ah = jnp.asarray(np.tile(np.asarray(anchors)[:, 1], h * w))
 
-    sig = lambda v: jnp.clip(1.0 / (1.0 + jnp.exp(-v)), eps, 1.0 - eps)
+    # jax.nn.sigmoid, NOT 1/(1+exp(-v)): the naive expression's autodiff is
+    # exp(-v)/(1+exp(-v))^2 = inf/inf = NaN once a logit goes below ~-88
+    # (f32 exp overflow) — the noobj term drives score logits that far after
+    # enough epochs and one poisoned gradient NaNs the weights permanently.
+    sig = lambda v: jnp.clip(jax.nn.sigmoid(v), eps, _SAFE_HI)
     px = sig(raw[..., 0]) + ltx
     py = sig(raw[..., 1]) + lty
     # exp clamp: |t_wh| <= 15 never binds in the normal regime (|t| < 3)
@@ -90,11 +101,8 @@ def _flat_decode(raw, grid_hw, anchors, class_num, eps):
                x0=px - pw / 2, y0=py - ph / 2,
                x1=px + pw / 2, y1=py + ph / 2)
     if class_num >= 1:
-        logits = raw[..., 5:]
-        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits)
-        out["probs"] = jnp.clip(e / jnp.sum(e, axis=-1, keepdims=True),
-                                eps, 1.0 - eps)
+        out["probs"] = jnp.clip(jax.nn.softmax(raw[..., 5:], axis=-1),
+                                eps, _SAFE_HI)
     return out
 
 
@@ -262,7 +270,7 @@ class YOLOv3Loss:
             scale = scale[..., None]
             coord_int = jnp.floor(t_grid[..., 0:2])
             t_frac = t_grid[..., 0:2] - coord_int
-            p_frac = jnp.clip(resp[..., 0:2] - coord_int, eps, 1.0 - eps)
+            p_frac = jnp.clip(resp[..., 0:2] - coord_int, eps, _SAFE_HI)
             bce = -(t_frac * jnp.log(p_frac)
                     + (1.0 - t_frac) * jnp.log(1.0 - p_frac))
             xy_loss = jnp.mean(
