@@ -14,7 +14,7 @@ from __future__ import annotations
 import dataclasses
 import datetime
 import os
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 import os
 import queue
 import threading
-from typing import Iterator, List, NamedTuple, Optional, Sequence, Tuple
+from typing import Iterator, List, NamedTuple, Optional, Tuple
 
 import numpy as np
 from PIL import Image

@@ -9,7 +9,7 @@ score-ranked detections to ground truth at IOU >= iou_thresh.
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import numpy as np
 

@@ -42,8 +42,7 @@ advances by the batch size only while active (yolov3_loss.py:151-152).
 """
 from __future__ import annotations
 
-import functools
-from typing import Dict, List, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -24,8 +24,7 @@ IOU > nms_thresh (strict).
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -37,7 +37,6 @@ Cross-references: reference conv semantics backbone/basic_backbone.py:20-43.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

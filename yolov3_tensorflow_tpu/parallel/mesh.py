@@ -16,8 +16,6 @@ sharding can be grown into without re-threading the mesh.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

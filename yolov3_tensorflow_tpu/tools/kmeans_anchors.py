@@ -12,7 +12,7 @@ anchored at a common corner (bounding_box.py:23-34).
 from __future__ import annotations
 
 import argparse
-from typing import List, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -18,7 +18,6 @@ extra device round-trips per epoch.
 from __future__ import annotations
 
 import logging
-import time
 from typing import Dict, Optional
 
 import jax

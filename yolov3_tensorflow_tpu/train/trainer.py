@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import logging
 import time
-from functools import partial
 from typing import Iterator, Optional
 
 import jax
@@ -245,7 +244,7 @@ class YOLOv3Trainer:
                 if patience >= cfg.stop_patience:
                     logging.info("early stopping at epoch %d", epoch)
                     break
-        self.ckpt.save(int(self.state.step), self.state, force=True)
+        self._final_save()
 
     # ------------------------------------------------------------------ #
     def train_multi_scale(self, batches_by_size, epochs=None,
@@ -284,7 +283,14 @@ class YOLOv3Trainer:
             self.history.append(total)
             if (epoch + 1) % cfg.ckpt_period == 0:
                 self.ckpt.save(int(self.state.step), self.state)
-        self.ckpt.save(int(self.state.step), self.state, force=True)
+        self._final_save()
+
+    def _final_save(self):
+        # the last epoch may already have checkpointed this exact step
+        # (orbax raises StepAlreadyExistsError even with force=True)
+        step = int(self.state.step)
+        if self.ckpt.latest_step() != step:
+            self.ckpt.save(step, self.state, force=True)
 
     # ------------------------------------------------------------------ #
     def predict(self, images) -> tuple:

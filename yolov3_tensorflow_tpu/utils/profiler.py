@@ -21,8 +21,6 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import Optional
-
 import numpy as np
 
 
