@@ -1,0 +1,92 @@
+"""Offline tooling: k-means anchors, label-file validator, synthetic
+dataset generator, model summaries, CLI config plumbing."""
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+from yolov3_tensorflow_tpu.tools.kmeans_anchors import (cluster_anchors,
+                                                        iou_wh, mean_iou,
+                                                        parse_boxes,
+                                                        pareto_curve)
+
+
+def test_kmeans_deterministic_and_sorted(sample_paths):
+    boxes, classes = parse_boxes(sample_paths["label"])
+    assert boxes.shape[1] == 2 and len(boxes) > 20
+    c1, _ = cluster_anchors(boxes, k=6, seed=6)
+    c2, _ = cluster_anchors(boxes, k=6, seed=6)
+    np.testing.assert_allclose(c1, c2)
+    areas = c1[:, 0] * c1[:, 1]
+    assert (np.diff(areas) >= 0).all()  # sorted by area
+    assert mean_iou(boxes, c1) > 0.5
+
+
+def test_kmeans_iou_distance():
+    boxes = np.asarray([[0.2, 0.2]])
+    centers = np.asarray([[0.2, 0.2], [0.1, 0.2], [0.4, 0.4]])
+    iou = iou_wh(boxes, centers)[0]
+    np.testing.assert_allclose(iou, [1.0, 0.5, 0.25])
+
+
+def test_pareto_curve_monotone(sample_paths):
+    boxes, _ = parse_boxes(sample_paths["label"])
+    centers, _ = cluster_anchors(boxes, k=6)
+    pts = pareto_curve(boxes, centers)
+    ratios = [r for _, r in pts]
+    assert all(a >= b for a, b in zip(ratios, ratios[1:]))
+
+
+def test_check_label_file(sample_paths, tmp_path):
+    from yolov3_tensorflow_tpu.tools.check_label_file import check_label_file
+    # append a line for a missing image: must be dropped
+    src = tmp_path / "label.txt"
+    with open(sample_paths["label"]) as f:
+        content = f.read()
+    src.write_text(content + "missing.jpg 0.5 0.5 0.1 0.1 0\n")
+    out = check_label_file(str(src), sample_paths["images"],
+                           str(tmp_path / "new.txt"))
+    kept = open(out).read().strip().split("\n")
+    assert len(kept) == len(content.strip().split("\n"))
+
+
+def test_synthetic_dataset_roundtrips(tmp_path):
+    from yolov3_tensorflow_tpu.config import Config
+    from yolov3_tensorflow_tpu.data.loader import Dataset
+    from yolov3_tensorflow_tpu.tools.make_synthetic_dataset import generate
+    out = generate(str(tmp_path / "ds"), num_images=4, size=(128, 96))
+    cfg = Config(input_image_size=(96, 128, 3), max_boxes=8, batch_size=2)
+    ds = Dataset(cfg, os.path.join(out, "label.txt"),
+                 os.path.join(out, "images"))
+    b = next(ds.batches())
+    assert b.images.shape == (2, 96, 128, 3)
+    valid_rows = b.labels[b.labels[:, :, 0] >= 0]
+    assert (valid_rows[:, 0:4] <= 1.0).all()  # normalized coords
+
+
+def test_cli_build_config():
+    import run as cli
+    args = cli.main.__globals__  # noqa: F841 - ensure module importable
+    import argparse
+    ns = argparse.Namespace(
+        mode="test", model_backbone="mobilenet-v2", optimizer="sgdm",
+        train_label_path=None, train_set_dir=None, test_label_path="x.txt",
+        test_set_dir="imgs", save_path=None, image_root_path=None,
+        input_size="320x416", multi_scale="320x416,384x480",
+        batch_size=16, epoch=5, class_num=7, max_boxes=None,
+        rectified_coord_num=None, num_devices=2, confidence_thresh=0.25,
+        nms_thresh=None, init_lr=None, no_augment=True, focal_loss=True,
+        tiou_recall=False)
+    cfg = cli.build_config(ns)
+    assert cfg.mode == "test"
+    assert cfg.model_backbone == "mobilenet-v2"
+    assert cfg.input_image_size == (320, 416, 3)
+    assert cfg.multi_scale_sizes == ((320, 416), (384, 480))
+    assert cfg.class_num == 7 and cfg.batch_size == 16
+    assert cfg.is_augment is False and cfg.is_focal_loss is True
+    assert cfg.confidence_thresh == 0.25
+    assert cfg.head_channel_nums == (36, 24, 36)  # B*(5+7)
