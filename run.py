@@ -30,7 +30,8 @@ def build_config(args) -> "Config":
         if v is not None:
             overrides[field] = v
     for field in ("batch_size", "epoch", "class_num", "max_boxes",
-                  "rectified_coord_num", "num_devices"):
+                  "rectified_coord_num", "num_devices", "train_set_size",
+                  "val_set_size"):
         v = getattr(args, field, None)
         if v is not None:
             overrides[field] = v
@@ -84,6 +85,8 @@ def test(cfg, trainer):
     input_box_size = np.array([cfg.input_image_size[1],
                                cfg.input_image_size[0]] * 2, np.float64)
     all_dets, all_gts = [], []
+    seen = set()  # the loader wraps partial batches for static shapes;
+    # don't double-count the wrapped duplicates in the metric
     if cfg.save_path:
         os.makedirs(cfg.save_path, exist_ok=True)
     for batch in ds.batches(repeat=False):
@@ -91,6 +94,9 @@ def test(cfg, trainer):
         per_image = post.process(heads)
         for img, labels, path, head_boxes in zip(
                 batch.images_float(), batch.labels, batch.paths, per_image):
+            if path in seen:
+                continue
+            seen.add(path)
             in_boxes = resize_boxes(head_boxes, input_box_size)
             if cfg.save_path:
                 out = os.path.join(cfg.save_path, os.path.basename(path))
@@ -152,6 +158,9 @@ def main(argv=None):
     p.add_argument("--max_boxes", type=int, default=None)
     p.add_argument("--rectified_coord_num", type=int, default=None)
     p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--train_set_size", type=int, default=None,
+                   help="images per epoch (sets steps_per_epoch)")
+    p.add_argument("--val_set_size", type=int, default=None)
     p.add_argument("--confidence_thresh", type=float, default=None)
     p.add_argument("--nms_thresh", type=float, default=None)
     p.add_argument("--init_lr", type=float, default=None)
