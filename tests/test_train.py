@@ -64,6 +64,26 @@ def test_single_vs_8device_equivalence():
     np.testing.assert_allclose(losses[1], losses[8], rtol=1e-5)
 
 
+def test_training_is_deterministic():
+    """Two trainers with identical seeds/config/data must produce
+    bit-identical loss trajectories (reproducibility: the reference pins
+    np/tf seeds, run.py:27-28; our RNG lives in the train state)."""
+    cfg = _cfg(is_augment=True)
+    images, labels = _batch(8)
+    losses = []
+    for _ in range(2):
+        tr = YOLOv3Trainer(cfg, restore=False,
+                           checkpoint_dir=tempfile.mkdtemp())
+        st = tr.state
+        run = []
+        for _ in range(3):
+            st, m = tr.train_step(st, images, labels)
+            run.append(float(m["total_loss"]))
+        losses.append(run)
+        del tr, st
+    assert losses[0] == losses[1]
+
+
 def test_augmented_step_runs():
     cfg = _cfg(is_augment=True)
     tr = YOLOv3Trainer(cfg, restore=False,

@@ -106,6 +106,10 @@ class Config:
     model_backbone: str = BACKBONE_RESNET_18
     optimizer: str = "radam"  # sgdm, adam, radam
     is_augment: bool = True
+    # NOTE: is_label_smoothing and is_gradient_harmonized are declared but
+    # UNWIRED — exactly like the reference, where they only feed the run tag
+    # (configs.py:67,71 are never read by any loss code).  Kept for config
+    # parity; wiring them is future work in both codebases.
     is_label_smoothing: bool = False
     is_focal_loss: bool = False
     focal_alpha: float = 1.0
