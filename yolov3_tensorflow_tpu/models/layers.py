@@ -1,0 +1,223 @@
+"""Backbone op vocabulary — TPU-native (flax) re-design of the reference's
+``BasicBackbone`` (reference: backbone/basic_backbone.py:9-163).
+
+Semantics preserved:
+  * conv: 3x3 same, he_normal init, no bias, L2(5e-4) weight decay
+    (basic_backbone.py:20-43) — here the L2 terms are computed explicitly by
+    :func:`l2_regularization` and added to the loss (Keras puts them in
+    ``model.losses``; optax decoupled weight-decay would change numbers).
+  * depthwise conv: same regularization (basic_backbone.py:45-66).
+  * batch norm: momentum 0.9, eps 1e-5, channel axis, gamma L2(1e-5)
+    (basic_backbone.py:68-78).
+  * element_wise_add: residual merge with optional 1x1 NIN + BN projection,
+    stride inferred from the spatial-shape ratio (basic_backbone.py:102-125).
+  * fused conv_bn / depthwise_conv_bn / bn_activation helpers
+    (basic_backbone.py:127-163).
+
+TPU-native deltas: convolutions run in bfloat16 on the MXU (fp32 master
+params); BN and activations run in fp32.  Layout is NHWC throughout, which is
+XLA's preferred TPU conv layout.
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+L2_CONV_DECAY = 5.0e-4  # conv kernel weight decay (basic_backbone.py:11)
+BN_L2_GAMMA_DECAY = 1.0e-5  # BN gamma weight decay (basic_backbone.py:12)
+BN_MOMENTUM = 0.9  # (basic_backbone.py:13)
+BN_EPSILON = 1e-5  # (basic_backbone.py:14)
+
+# Param-tree name marker for the three detection-head output convs: the
+# reference creates them as plain keras Conv2D with bias and NO kernel
+# regularizer (yolov3_detector.py:98-100), so l2_regularization must skip
+# them.  Any module whose name contains this marker is excluded.
+HEAD_OUT_MARKER = "head_out"
+
+
+class FusedBatchNorm(nn.Module):
+    """BatchNorm with fp32 statistics but compute-dtype (bf16) tensor I/O.
+
+    flax's nn.BatchNorm promotes the whole activation to its ``dtype``;
+    running it in fp32 doubles HBM traffic on the bf16 conv path, while
+    running it fully in bf16 degrades the mean/var accumulation.  This
+    variant casts only inside the reductions: stats and running averages are
+    fp32, the normalized output is ``dtype``.
+    """
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    # Train-mode statistics from every s-th spatial row.  BN stats are
+    # stochastic estimates; with millions of samples per channel a stride
+    # of 2-4 changes them negligibly while skipping whole HBM rows on the
+    # stats read (the train step is bandwidth-bound, see PERF.md).
+    # 1 (default) = exact reference semantics.
+    stats_stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          self.param_dtype)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((features,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xs = x
+            if self.stats_stride > 1 and x.ndim == 4 \
+                    and x.shape[1] >= 2 * self.stats_stride:
+                xs = x[:, ::self.stats_stride]
+            x32 = xs.astype(jnp.float32)
+            axes = tuple(range(x32.ndim - 1))
+            mean = jnp.mean(x32, axis=axes)
+            mean2 = jnp.mean(jnp.square(x32), axis=axes)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
+        shift = bias.astype(jnp.float32) - mean * inv
+        y = x.astype(self.dtype) * inv.astype(self.dtype) \
+            + shift.astype(self.dtype)
+        return y
+
+
+class BasicBackbone(nn.Module):
+    """Base module giving all backbones the shared op vocabulary."""
+
+    dtype: Any = jnp.bfloat16  # conv compute dtype (MXU)
+    param_dtype: Any = jnp.float32
+    bn_stats_stride: int = 1  # see FusedBatchNorm.stats_stride
+
+    # ------------------------------------------------------------- ops --
+    def conv(self, x, filters, kernel_size=(3, 3), strides=(1, 1),
+             padding="SAME", use_bias=False, feature_group_count=1):
+        """Conv with he_normal init, default 3x3/1 same, no bias
+        (basic_backbone.py:20-43)."""
+        return nn.Conv(
+            features=filters,
+            kernel_size=tuple(kernel_size),
+            strides=tuple(strides),
+            padding=padding,
+            use_bias=use_bias,
+            feature_group_count=feature_group_count,
+            kernel_init=nn.initializers.he_normal(),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x)
+
+    def depthwise_conv(self, x, kernel_size=(3, 3), strides=(1, 1)):
+        """Depthwise conv (basic_backbone.py:45-66): one filter per input
+        channel, expressed as a grouped conv with group_count == channels
+        (XLA lowers this to a TPU depthwise conv)."""
+        channels = x.shape[-1]
+        return self.conv(x, channels, kernel_size=kernel_size, strides=strides,
+                         feature_group_count=channels)
+
+    def batch_normalization(self, x, train: bool):
+        """BN with momentum .9 / eps 1e-5 (basic_backbone.py:68-78).
+
+        TPU note: statistics accumulate in fp32 (cast fused into the
+        reduction) but the normalized tensor I/O stays in the compute dtype,
+        so the conv->bn->relu chain never materializes fp32 activations in
+        HBM — the training step is bandwidth-bound otherwise."""
+        return FusedBatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPSILON,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            stats_stride=self.bn_stats_stride,
+        )(x)
+
+    @staticmethod
+    def activation(x, activation: str = "relu"):
+        """(basic_backbone.py:80-90) plus the custom h_swish
+        (basic_backbone.py:92-100)."""
+        if activation == "relu":
+            return nn.relu(x)
+        if activation == "h_swish":
+            return x * jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
+        raise ValueError(f"unknown activation {activation!r}")
+
+    def element_wise_add(self, identity, residual, is_nin: bool = False,
+                         train: bool = True):
+        """Residual merge; optional 1x1 NIN conv + BN on the identity branch
+        with stride inferred from the spatial-shape ratio
+        (basic_backbone.py:102-125)."""
+        if is_nin:
+            stride_h = int(round(identity.shape[1] / residual.shape[1]))
+            stride_w = int(round(identity.shape[2] / residual.shape[2]))
+            identity = self.conv(identity, residual.shape[-1],
+                                 kernel_size=(1, 1),
+                                 strides=(stride_h, stride_w),
+                                 padding="VALID")
+            identity = self.batch_normalization(identity, train)
+        return identity + residual  # native dtype promotion (bf16 path)
+
+    # --------------------------------------------------------- fused ----
+    def conv_bn(self, x, filters, train: bool = True, **conv_params):
+        """(basic_backbone.py:127-138)"""
+        return self.batch_normalization(
+            self.conv(x, filters, **conv_params), train)
+
+    def depthwise_conv_bn(self, x, train: bool = True, **conv_params):
+        """(basic_backbone.py:140-150)"""
+        return self.batch_normalization(
+            self.depthwise_conv(x, **conv_params), train)
+
+    def bn_activation(self, x, train: bool = True, activation: str = "relu"):
+        """(basic_backbone.py:152-163)"""
+        return self.activation(
+            self.batch_normalization(x, train), activation)
+
+    @staticmethod
+    def max_pool(x, window=(3, 3), strides=(2, 2)):
+        return nn.max_pool(x, window_shape=tuple(window),
+                           strides=tuple(strides), padding="SAME")
+
+
+def upsample2x_nearest(x):
+    """2x nearest-neighbour upsample, NHWC (reference uses
+    keras UpSampling2D(interpolation='nearest'), yolov3_detector.py:115)."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+def l2_regularization(params) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Explicit L2 weight-decay terms, replacing Keras ``model.losses``.
+
+    Returns ``(kernel_reg, gamma_reg)`` where
+      * kernel_reg = 5e-4 * sum(w^2) over every conv kernel EXCEPT the three
+        head output convs (which the reference creates without a regularizer,
+        yolov3_detector.py:98-100);
+      * gamma_reg = 1e-5 * sum(gamma^2) over every BN scale
+        (basic_backbone.py:75-77).
+
+    Keras ``l2(l)`` is ``l * sum(square(w))`` — no 1/2 factor.
+    """
+    kernel_sq = []
+    gamma_sq = []
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    for path, leaf in flat:
+        keys = [getattr(p, "key", str(p)) for p in path]
+        name = "/".join(str(k) for k in keys)
+        if keys and keys[-1] == "kernel" and HEAD_OUT_MARKER not in name:
+            kernel_sq.append(jnp.sum(jnp.square(leaf.astype(jnp.float32))))
+        elif keys and keys[-1] == "scale":
+            gamma_sq.append(jnp.sum(jnp.square(leaf.astype(jnp.float32))))
+    zero = jnp.zeros((), jnp.float32)
+    kernel_reg = L2_CONV_DECAY * (sum(kernel_sq) if kernel_sq else zero)
+    gamma_reg = BN_L2_GAMMA_DECAY * (sum(gamma_sq) if gamma_sq else zero)
+    return kernel_reg, gamma_reg

@@ -1,0 +1,43 @@
+"""ResNet-18 backbone (reference: backbone/resnet18.py:14-69).
+
+Modified ResNet-18: 3x3/2 conv_bn stem + 3x3/2 maxpool, then four residual
+modules of two blocks each (first block NIN-projected), filters
+64/128/256/512, emitting the stride-8/16/32 feature triple.
+"""
+from __future__ import annotations
+
+from flax import linen as nn
+
+from .layers import BasicBackbone
+
+
+class ResNet18(BasicBackbone):
+
+    def _residual_block(self, x, filters, is_nin=True, train=True,
+                        strides=(1, 1)):
+        """input-> conv+bn->relu-> conv+bn-> add->relu
+        (resnet18.py:18-35)."""
+        residual = self.conv_bn(x, filters, train=train, strides=strides)
+        residual = self.activation(residual)
+        residual = self.conv_bn(residual, filters, train=train)
+        out = self.element_wise_add(x, residual, is_nin=is_nin, train=train)
+        return self.activation(out)
+
+    def _residual_module(self, x, filters, train=True, strides=(1, 1)):
+        """Two blocks; only the first is NIN-projected (resnet18.py:38-50)."""
+        x = self._residual_block(x, filters, is_nin=True, train=train,
+                                 strides=strides)
+        return self._residual_block(x, filters, is_nin=False, train=train)
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        """(resnet18.py:53-69) -> (s8, s16, s32) NHWC features."""
+        net = self.conv_bn(x, 64, train=train, strides=(2, 2))
+        net = self.max_pool(net)
+        net = self.activation(net)
+
+        net = self._residual_module(net, 64, train=train)
+        s8 = self._residual_module(net, 128, train=train, strides=(2, 2))
+        s16 = self._residual_module(s8, 256, train=train, strides=(2, 2))
+        s32 = self._residual_module(s16, 512, train=train, strides=(2, 2))
+        return s8, s16, s32

