@@ -53,13 +53,6 @@ class FusedBatchNorm(nn.Module):
     epsilon: float = 1e-5
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
-    # Train-mode statistics from every s-th spatial row.  BN stats are
-    # stochastic estimates; with millions of samples per channel a stride
-    # of 2-4 changes them negligibly while skipping whole HBM rows on the
-    # stats read (the train step is bandwidth-bound, see PERF.md).
-    # 1 (default) = exact reference semantics.
-    stats_stride: int = 1
-
     @nn.compact
     def __call__(self, x):
         features = x.shape[-1]
@@ -74,11 +67,7 @@ class FusedBatchNorm(nn.Module):
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            xs = x
-            if self.stats_stride > 1 and x.ndim == 4 \
-                    and x.shape[1] >= 2 * self.stats_stride:
-                xs = x[:, ::self.stats_stride]
-            x32 = xs.astype(jnp.float32)
+            x32 = x.astype(jnp.float32)
             axes = tuple(range(x32.ndim - 1))
             mean = jnp.mean(x32, axis=axes)
             mean2 = jnp.mean(jnp.square(x32), axis=axes)
@@ -99,7 +88,6 @@ class BasicBackbone(nn.Module):
 
     dtype: Any = jnp.bfloat16  # conv compute dtype (MXU)
     param_dtype: Any = jnp.float32
-    bn_stats_stride: int = 1  # see FusedBatchNorm.stats_stride
 
     # ------------------------------------------------------------- ops --
     def conv(self, x, filters, kernel_size=(3, 3), strides=(1, 1),
@@ -139,7 +127,6 @@ class BasicBackbone(nn.Module):
             epsilon=BN_EPSILON,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
-            stats_stride=self.bn_stats_stride,
         )(x)
 
     @staticmethod
