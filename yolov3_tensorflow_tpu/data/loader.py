@@ -104,9 +104,18 @@ def load_image(path: str, dst_hw: Tuple[int, int],
     img = Image.open(path).convert("RGB")
     sw, sh = img.size
     (rh, rw), (pt, pl) = letterbox_geometry((sh, sw), dst_hw)
-    img = img.resize((rw, rh), Image.NEAREST)
+    # explicit NEAREST with the center convention floor((i+0.5)*src/dst):
+    # PIL's own resize differs by one pixel at exact-integer boundaries
+    # (last-ulp affine math), and the native C++ loader must be bit-equal
+    # to this path — so both implement this same formula.
+    arr = np.asarray(img, np.uint8)
+    ymap = np.minimum(((np.arange(rh) + 0.5) * (sh / rh)).astype(np.int64),
+                      sh - 1)
+    xmap = np.minimum(((np.arange(rw) + 0.5) * (sw / rw)).astype(np.int64),
+                      sw - 1)
+    resized = arr[ymap][:, xmap]
     canvas = np.zeros((dst_hw[0], dst_hw[1], 3), np.uint8)
-    canvas[pt:pt + rh, pl:pl + rw] = np.asarray(img, np.uint8)
+    canvas[pt:pt + rh, pl:pl + rw] = resized
     bgr = canvas[..., ::-1]
     if as_float:
         return bgr.astype(np.float32) / 255.0
@@ -164,6 +173,30 @@ class Dataset:
             self._cache[idx] = img
         return img
 
+    def _fetch_batch_images(self, idx) -> np.ndarray:
+        """Decode a batch, preferring the native C++ loader (one threaded
+        call, bit-exact with the PIL path; see data/native_loader.py)."""
+        missing = [int(i) for i in idx
+                   if self._cache is None or int(i) not in self._cache]
+        if missing:
+            try:
+                from . import native_loader
+                if native_loader.available():
+                    imgs, _ = native_loader.decode_letterbox_batch(
+                        [self.examples[i].path for i in missing],
+                        self.dst_hw)
+                    if self._cache is not None:
+                        for k, i in enumerate(missing):
+                            self._cache[i] = imgs[k]
+                    else:
+                        lut = {i: imgs[k] for k, i in enumerate(missing)}
+                        return np.stack([
+                            lut[int(i)] if int(i) in lut else self._image(i)
+                            for i in idx])
+            except Exception:
+                pass  # PIL fallback below handles any failure
+        return np.stack([self._image(i) for i in idx])
+
     def batches(self, batch_size: Optional[int] = None,
                 repeat: bool = True) -> Iterator[Batch]:
         bs = batch_size or self.cfg.batch_size
@@ -176,7 +209,7 @@ class Dataset:
                 idx = order[start:start + bs]
                 if len(idx) < bs:  # wrap to keep shapes static
                     idx = np.concatenate([idx, order[:bs - len(idx)]])
-                images = np.stack([self._image(i) for i in idx])
+                images = self._fetch_batch_images(idx)
                 labels = np.stack([self._labels[i] for i in idx])
                 paths = tuple(self.examples[i].path for i in idx) \
                     if self.is_test else None
