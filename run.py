@@ -62,12 +62,12 @@ def train(cfg, trainer):
     if cfg.multi_scale_sizes:
         batches = {
             tuple(hw): Dataset(cfg, cfg.train_label_path, cfg.train_set_dir,
-                               dst_hw=tuple(hw)).prefetch()
+                               dst_hw=tuple(hw)).device_prefetch()
             for hw in cfg.multi_scale_sizes}
         trainer.train_multi_scale(batches)
     else:
         ds = Dataset(cfg, cfg.train_label_path, cfg.train_set_dir)
-        trainer.train(ds.prefetch())
+        trainer.train(ds.device_prefetch())
     logging.info("training done")
 
 

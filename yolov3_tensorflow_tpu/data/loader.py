@@ -217,6 +217,23 @@ class Dataset:
             if not repeat:
                 return
 
+    def device_prefetch(self, batch_size: Optional[int] = None,
+                        repeat: bool = True, depth: int = 2,
+                        host_depth: int = 2) -> Iterator[Batch]:
+        """Host prefetch + double-buffered async device transfer: the next
+        batch's host->device copy overlaps the current step's compute
+        (jax.device_put is asynchronous)."""
+        import jax
+
+        queue_: "list" = []
+        for b in self.prefetch(batch_size, repeat, host_depth):
+            queue_.append(Batch(jax.device_put(b.images),
+                                jax.device_put(b.labels), b.paths))
+            if len(queue_) >= depth:
+                yield queue_.pop(0)
+        while queue_:
+            yield queue_.pop(0)
+
     def prefetch(self, batch_size: Optional[int] = None, repeat: bool = True,
                  depth: int = 2) -> Iterator[Batch]:
         """Background-thread prefetch (the tf.data prefetch(AUTOTUNE)
