@@ -57,8 +57,10 @@ def parse_label_file(file_path: str, root_path: str) -> List[Example]:
     examples = []
     with open(file_path, "r") as f:
         for line in f:
-            parts = line.strip().split(" ")
-            if not parts or not parts[0]:
+            # split() (not split(' ')) skips repeated whitespace/tabs, like
+            # the reference's tf.string_split
+            parts = line.split()
+            if not parts:
                 continue
             vals = np.asarray([float(v) for v in parts[1:]], np.float32)
             labels = vals.reshape(-1, 5) if vals.size else np.zeros(

@@ -17,9 +17,10 @@ def check_label_file(label_file: str, image_root: str,
     kept = dropped = 0
     with open(label_file) as fin, open(out_path, "w") as fout:
         for line in fin:
-            name = line.strip().split(" ")[0]
-            if not name:
+            fields = line.split()
+            if not fields:
                 continue
+            name = fields[0]
             path = os.path.join(image_root, name)
             try:
                 with Image.open(path) as im:

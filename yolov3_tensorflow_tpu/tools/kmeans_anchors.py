@@ -65,7 +65,7 @@ def parse_boxes(label_file: str) -> Tuple[np.ndarray, np.ndarray]:
     whs, classes = [], []
     with open(label_file) as f:
         for line in f:
-            vals = line.strip().split(" ")[1:]
+            vals = line.split()[1:]
             arr = np.asarray([float(v) for v in vals]).reshape(-1, 5)
             whs.extend(arr[:, 2:4])
             classes.extend(arr[:, 4])
