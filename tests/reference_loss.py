@@ -149,7 +149,12 @@ def reference_loss(raw_heads, targets, cfg, image_count=10 ** 9):
                 wh += scale * np.sum(
                     (np.log(twh) - np.log(pred[2:4])) ** 2)
                 if cfg.class_num >= 1:
-                    cls += -np.log(pred[5 + int(o[4])])
+                    onehot = np.zeros(cfg.class_num)
+                    onehot[int(o[4])] = 1.0
+                    if cfg.is_label_smoothing:
+                        e = cfg.label_smoothing_eps
+                        onehot = onehot * (1 - e) + e / cfg.class_num
+                    cls += float(np.sum(-onehot * np.log(pred[5:])))
             per_image[img, :, hi] = [
                 weights[hi, 0] * xy, weights[hi, 1] * wh,
                 weights[hi, 2] * noobj, weights[hi, 3] * obj,

@@ -33,15 +33,17 @@ def _targets(n, m, rows):
     return jnp.asarray(t)
 
 
-@pytest.mark.parametrize("class_num,focal,tiou", [
-    (0, False, False),
-    (3, False, False),
-    (3, True, False),
-    (0, False, True),
+@pytest.mark.parametrize("class_num,focal,tiou,smooth", [
+    (0, False, False, False),
+    (3, False, False, False),
+    (3, True, False, False),
+    (0, False, True, False),
+    (4, False, False, True),
 ])
-def test_matches_numpy_oracle(class_num, focal, tiou):
+def test_matches_numpy_oracle(class_num, focal, tiou, smooth):
     cfg = _mk_cfg(class_num=class_num, is_focal_loss=focal,
-                  is_tiou_recall=tiou, rectified_coord_num=100)
+                  is_tiou_recall=tiou, is_label_smoothing=smooth,
+                  rectified_coord_num=100)
     heads = _random_heads(cfg, 2, seed=class_num + 10 * focal + 100 * tiou)
     targets = _targets(2, 3, {
         (0, 0): [0.5, 0.5, 0.25, 0.3, min(1, class_num and 1)],

@@ -106,11 +106,14 @@ class Config:
     model_backbone: str = BACKBONE_RESNET_18
     optimizer: str = "radam"  # sgdm, adam, radam
     is_augment: bool = True
-    # NOTE: is_label_smoothing and is_gradient_harmonized are declared but
-    # UNWIRED — exactly like the reference, where they only feed the run tag
-    # (configs.py:67,71 are never read by any loss code).  Kept for config
-    # parity; wiring them is future work in both codebases.
+    # is_label_smoothing is declared-but-dead in the reference (configs.py:67
+    # only feeds the run tag); here it is actually wired: the class CE target
+    # becomes onehot*(1-eps) + eps/C (classification only, the standard
+    # formulation).  is_gradient_harmonized remains unwired like the
+    # reference (configs.py:71) — a faithful GHM needs validation data this
+    # repo doesn't carry; documented future work in both codebases.
     is_label_smoothing: bool = False
+    label_smoothing_eps: float = 0.1
     is_focal_loss: bool = False
     focal_alpha: float = 1.0
     focal_gamma: float = 2.0

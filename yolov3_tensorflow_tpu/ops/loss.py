@@ -284,6 +284,10 @@ class YOLOv3Loss:
             if cfg.class_num >= 1:
                 onehot_c = jax.nn.one_hot(t_grid[..., 4].astype(jnp.int32),
                                           cfg.class_num)
+                if cfg.is_label_smoothing:
+                    # wired here though dead in the reference (configs.py:67)
+                    e = cfg.label_smoothing_eps
+                    onehot_c = onehot_c * (1.0 - e) + e / cfg.class_num
                 ce = -onehot_c * jnp.log(
                     jnp.clip(resp[..., 5:], eps, 1.0))
                 cls_loss = jnp.mean(
