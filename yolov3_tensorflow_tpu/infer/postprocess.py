@@ -83,14 +83,28 @@ class YOLOv3PostProcessor:
 
     def __init__(self, cfg: Config, score_thresh: Optional[float] = None,
                  nms_thresh: Optional[float] = None):
+        import functools
+
         import jax
 
         from ..ops.nms import BatchedNMS
         self.cfg = cfg
         self.nms = BatchedNMS(cfg, score_thresh, nms_thresh)
-        self._jit_nms = jax.jit(self.nms.__call__)
+        self._jit_nms = jax.jit(functools.partial(
+            self.nms.__call__, return_candidate_counts=True))
 
     def process(self, raw_heads) -> List[List[np.ndarray]]:
         """raw 3-head outputs -> per-image, per-head normalized (k, 8)
-        detection arrays."""
-        return split_detections(self._jit_nms(raw_heads))
+        detection arrays.  Warns when a dense scene overflowed the static
+        top-K candidate budget."""
+        det, counts = self._jit_nms(raw_heads)
+        counts = np.asarray(counts)
+        if (counts > self.nms.top_k).any():
+            import logging
+            logging.warning(
+                "NMS candidate overflow: %d image(s) had more than "
+                "max_detections=%d above-threshold candidates (max %d); "
+                "raise Config.max_detections or confidence_thresh",
+                int((counts > self.nms.top_k).sum()), self.nms.top_k,
+                int(counts.max()))
+        return split_detections(det)

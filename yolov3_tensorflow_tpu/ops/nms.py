@@ -116,13 +116,20 @@ class BatchedNMS:
                 score[..., None], head_col[..., None]], axis=-1))
         return jnp.concatenate(cols, axis=1)  # (N, T, 9)
 
-    def __call__(self, raw_heads: Sequence) -> jnp.ndarray:
+    def __call__(self, raw_heads: Sequence,
+                 return_candidate_counts: bool = False):
+        """-> (N, K, 10) detections; with return_candidate_counts also the
+        (N,) number of above-threshold candidates BEFORE the static top-K
+        truncation, so callers can detect dense scenes that overflow
+        ``max_detections`` (the reference's host NMS had no cap; ours is
+        static-shape — don't let the cap be silent)."""
         decoded = self.decoder.decode(raw_heads)
         cand = self._candidates(decoded)  # (N, T, 9)
 
         def per_image(c):
             score = c[:, 7]
             valid = score > self.score_thresh
+            n_above = jnp.sum(valid.astype(jnp.int32))
             masked = jnp.where(valid, score, -jnp.inf)
             k = min(self.top_k, c.shape[0])
             top_score, top_idx = jax.lax.top_k(masked, k)
@@ -130,7 +137,11 @@ class BatchedNMS:
             sel_valid = top_score > self.score_thresh
             keep = greedy_nms(sel[:, 0:4], sel[:, 7], sel[:, 6], sel_valid,
                               self.nms_thresh)
-            return jnp.concatenate(
+            det = jnp.concatenate(
                 [sel, keep[:, None].astype(jnp.float32)], axis=-1)
+            return det, n_above
 
-        return jax.vmap(per_image)(cand)  # (N, K, 10)
+        det, counts = jax.vmap(per_image)(cand)  # (N, K, 10), (N,)
+        if return_candidate_counts:
+            return det, counts
+        return det
