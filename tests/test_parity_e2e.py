@@ -1,0 +1,289 @@
+"""END-TO-END parity gate: full flax detector vs the actual Keras reference
+model with transplanted weights on the real 20-image sample.
+
+Op-level parity (test_parity.py) cannot rule out *wiring* errors — a wrong
+head branch point, concat order, or BN placement would pass every op test.
+This gate assembles the reference ResNet-18 YOLOv3 in TF2 Keras following
+the reference sources line-by-line:
+
+  * backbone: /root/reference/backbone/resnet18.py:17-69 +
+    backbone/basic_backbone.py:20-163
+  * heads + merged packing: /root/reference/yolov3/yolov3_detector.py:44-151
+
+then transplants one set of weights into BOTH models and asserts, on real
+letterboxed sample images (13-class set):
+
+  1. per-head logits agree (train-mode BN, fp32);
+  2. the merged single-tensor layout (pack_heads) equals the Keras output;
+  3. decoded boxes from both (through the same decoder) agree.
+
+The flax->Keras weight map is positional per creation order; a per-index
+shape/stride assertion guards against order misalignment.
+"""
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+import jax.numpy as jnp  # noqa: E402
+
+from yolov3_tensorflow_tpu.config import Config  # noqa: E402
+from yolov3_tensorflow_tpu.data.loader import (load_image,  # noqa: E402
+                                               parse_label_file)
+from yolov3_tensorflow_tpu.models.detector import (YOLOv3Detector,  # noqa: E402
+                                                   pack_heads)
+from yolov3_tensorflow_tpu.ops.decoder import YOLOv3Decoder  # noqa: E402
+
+SAMPLE = "/root/reference/dataset/test_sample"
+
+
+class _KerasReference:
+    """Builds the reference detector in TF2 Keras, mirroring the reference
+    call sequence exactly (citations inline).  Records layer names in
+    creation order for the positional weight transplant."""
+
+    def __init__(self):
+        self.convs, self.bns, self.head_outs = [], [], []
+
+    # --- basic_backbone.py ops -------------------------------------- #
+    def conv(self, x, filters, kernel_size=(3, 3), strides=(1, 1),
+             padding="same"):
+        """basic_backbone.py:20-43 (he_normal, no bias, L2 — L2 irrelevant
+        for forward parity)."""
+        name = f"conv_{len(self.convs)}"
+        self.convs.append(name)
+        return tf.keras.layers.Conv2D(
+            filters, kernel_size, strides=strides, padding=padding,
+            use_bias=False, name=name)(x)
+
+    def bn(self, x):
+        """basic_backbone.py:68-78: axis=channel, momentum .9, eps 1e-5."""
+        name = f"bn_{len(self.bns)}"
+        self.bns.append(name)
+        return tf.keras.layers.BatchNormalization(
+            axis=3, momentum=0.9, epsilon=1e-5, name=name)(x)
+
+    def conv_bn(self, x, filters, **kw):
+        """basic_backbone.py:127-138."""
+        return self.bn(self.conv(x, filters, **kw))
+
+    @staticmethod
+    def act(x):
+        return tf.keras.layers.Activation("relu")(x)
+
+    def element_wise_add(self, identity, residual, is_nin):
+        """basic_backbone.py:102-125: optional 1x1 valid NIN conv+bn with
+        stride = spatial ratio, then add."""
+        if is_nin:
+            ish = identity.shape
+            rsh = residual.shape
+            s = (int(round(ish[1] / rsh[1])), int(round(ish[2] / rsh[2])))
+            identity = self.conv_bn(identity, int(rsh[3]), kernel_size=(1, 1),
+                                    strides=s, padding="valid")
+        return tf.keras.layers.add([identity, residual])
+
+    # --- resnet18.py ------------------------------------------------- #
+    def residual_block(self, x, filters, is_nin, strides=(1, 1)):
+        """resnet18.py:17-35."""
+        r = self.act(self.conv_bn(x, filters, strides=strides))
+        r = self.conv_bn(r, filters)
+        return self.act(self.element_wise_add(x, r, is_nin))
+
+    def residual_module(self, x, filters, strides=(1, 1)):
+        """resnet18.py:37-50."""
+        x = self.residual_block(x, filters, is_nin=True, strides=strides)
+        return self.residual_block(x, filters, is_nin=False)
+
+    def backbone(self, x):
+        """resnet18.py:52-69."""
+        net = self.conv_bn(x, 64, strides=(2, 2))
+        net = tf.keras.layers.MaxPooling2D(pool_size=(3, 3), strides=(2, 2),
+                                           padding="same")(net)
+        net = self.act(net)
+        net = self.residual_module(net, 64)
+        s8 = self.residual_module(net, 128, strides=(2, 2))
+        s16 = self.residual_module(s8, 256, strides=(2, 2))
+        s32 = self.residual_module(s16, 512, strides=(2, 2))
+        return s8, s16, s32
+
+    # --- yolov3_detector.py heads ------------------------------------ #
+    def head_out(self, x, channels, name):
+        """yolov3_detector.py:98-100: 1x1, RandomNormal(.01), bias."""
+        self.head_outs.append(name)
+        return tf.keras.layers.Conv2D(
+            channels, (1, 1), use_bias=True, name=name,
+            kernel_initializer=tf.keras.initializers.RandomNormal(
+                stddev=0.01))(x)
+
+    def build(self, input_hw, head_channels):
+        """yolov3_detector.py:44-86 (build + _detection_head + merge)."""
+        c8, c16, c32 = head_channels
+        inp = tf.keras.layers.Input(shape=(input_hw[0], input_hw[1], 3))
+        s8, s16, s32 = self.backbone(inp)
+        # /32 head (yolov3_detector.py:88-101)
+        net = self.act(self.conv_bn(s32, 512))
+        h32 = self.head_out(net, c32, "yolov3_head_32")
+        # /16 head (yolov3_detector.py:103-126) — off the raw s32 feature
+        net = self.act(self.conv_bn(s32, 256))
+        net = tf.keras.layers.UpSampling2D((2, 2), interpolation="nearest")(
+            net)
+        merge16 = tf.keras.layers.concatenate([net, s16], axis=-1)
+        merge16 = self.act(self.conv_bn(merge16, 256, kernel_size=(1, 1)))
+        net = self.act(self.conv_bn(merge16, 512))
+        h16 = self.head_out(net, c16, "yolov3_head_16")
+        # /8 head (yolov3_detector.py:128-151) — off merge16
+        net = self.act(self.conv_bn(merge16, 128, kernel_size=(1, 1)))
+        net = tf.keras.layers.UpSampling2D((2, 2), interpolation="nearest")(
+            net)
+        merge8 = tf.keras.layers.concatenate([net, s8], axis=-1)
+        merge8 = self.act(self.conv_bn(merge8, 128, kernel_size=(1, 1)))
+        merge8 = self.act(self.conv_bn(merge8, 256))
+        h8 = self.head_out(merge8, c8, "yolov3_head_8")
+        # merged packing (yolov3_detector.py:79-86)
+        hh, ww = int(h32.shape[1]), int(h32.shape[2])
+        reshape = tf.keras.layers.Reshape(target_shape=[hh, ww, -1])
+        merged = tf.keras.layers.concatenate(
+            [reshape(h8), reshape(h16), h32], axis=3)
+        return tf.keras.models.Model(inputs=inp,
+                                     outputs=[merged, h8, h16, h32])
+
+
+def _index_of(name: str) -> int:
+    return int(name.rsplit("_", 1)[1])
+
+
+def _flax_ordered(tree, prefix):
+    """Auto-named flax submodules of one type, sorted by creation index."""
+    names = sorted((k for k in tree if k.startswith(prefix)), key=_index_of)
+    return [tree[k] for k in names]
+
+
+def _randomize(params, stats, seed=0):
+    """Deterministic non-trivial weights for both models."""
+    rng = np.random.RandomState(seed)
+
+    def _walk(tree, fn, path=()):
+        if isinstance(tree, dict):
+            return {k: _walk(v, fn, path + (k,)) for k, v in
+                    sorted(tree.items())}
+        return fn(path, np.asarray(tree))
+
+    def _param(path, leaf):
+        name = path[-1]
+        head = any("head_out" in p for p in path)
+        if name == "kernel":
+            scale = 0.01 if head else 0.06
+            return (scale * rng.randn(*leaf.shape)).astype(np.float32)
+        if name == "bias":
+            return (0.01 * rng.randn(*leaf.shape)).astype(np.float32)
+        if name == "scale":
+            return (1.0 + 0.1 * rng.randn(*leaf.shape)).astype(np.float32)
+        raise AssertionError(f"unexpected param {path}")
+
+    def _stat(path, leaf):
+        if path[-1] == "mean":
+            return (0.1 * rng.randn(*leaf.shape)).astype(np.float32)
+        return (1.0 + 0.5 * rng.rand(*leaf.shape)).astype(np.float32)
+
+    return _walk(params, _param), _walk(stats, _stat)
+
+
+def _transplant(keras_model, ref: _KerasReference, params, stats):
+    """Copy flax weights into the Keras model, positionally by creation
+    order, guarded by per-index shape equality."""
+    bb_p, bb_s = params["backbone"], stats["backbone"]
+    hd_convs = _flax_ordered(params, "Conv_")
+    hd_bns_p = _flax_ordered(params, "FusedBatchNorm_")
+    bb_convs = _flax_ordered(bb_p, "Conv_")
+    bb_bns_p = _flax_ordered(bb_p, "FusedBatchNorm_")
+    bb_bns_s = _flax_ordered(bb_s["backbone"]
+                             if "backbone" in bb_s else bb_s,
+                             "FusedBatchNorm_")
+    hd_bns_s = _flax_ordered(stats, "FusedBatchNorm_")
+
+    n_bb = len(bb_convs)
+    assert len(ref.convs) == n_bb + len(hd_convs), \
+        (len(ref.convs), n_bb, len(hd_convs))
+    for i, name in enumerate(ref.convs):
+        leaf = (bb_convs[i] if i < n_bb else hd_convs[i - n_bb])["kernel"]
+        layer = keras_model.get_layer(name)
+        k = np.asarray(leaf, np.float32)
+        assert tuple(layer.kernel.shape) == k.shape, (name, k.shape)
+        layer.set_weights([k])
+    for i, name in enumerate(ref.bns):
+        p = bb_bns_p[i] if i < n_bb else hd_bns_p[i - n_bb]
+        s = bb_bns_s[i] if i < n_bb else hd_bns_s[i - n_bb]
+        keras_model.get_layer(name).set_weights([
+            np.asarray(p["scale"]), np.asarray(p["bias"]),
+            np.asarray(s["mean"]), np.asarray(s["var"])])
+    for name in ref.head_outs:
+        suffix = name.rsplit("_", 1)[1]
+        p = params[f"head_out_{suffix}"]
+        keras_model.get_layer(name).set_weights(
+            [np.asarray(p["kernel"]), np.asarray(p["bias"])])
+
+
+@pytest.fixture(scope="module")
+def parity_setup():
+    cfg = Config(class_num=13, compute_dtype="float32")
+    examples = parse_label_file(f"{SAMPLE}/label.txt", f"{SAMPLE}/images")
+    images = np.stack([
+        load_image(ex.path, cfg.input_image_size[:2], as_float=True)
+        for ex in examples[:8]])
+
+    model = YOLOv3Detector(backbone_name=cfg.model_backbone,
+                           head_channel_nums=tuple(cfg.head_channel_nums),
+                           dtype=jnp.float32)
+    variables = model.init(
+        __import__("jax").random.PRNGKey(0),
+        jnp.zeros((1,) + tuple(cfg.input_image_size), jnp.float32),
+        train=True)
+    params, stats = _randomize(variables["params"],
+                               variables["batch_stats"])
+
+    ref = _KerasReference()
+    keras_model = ref.build(cfg.input_image_size[:2], cfg.head_channel_nums)
+    _transplant(keras_model, ref, params, stats)
+
+    (p8, p16, p32), _ = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(images), train=True, mutable=["batch_stats"])
+    merged_t, h8_t, h16_t, h32_t = [
+        t.numpy() for t in keras_model(tf.constant(images), training=True)]
+    return dict(cfg=cfg, flax=(np.asarray(p8), np.asarray(p16),
+                               np.asarray(p32)),
+                keras=(h8_t, h16_t, h32_t), merged=merged_t)
+
+
+def test_per_head_logits_match(parity_setup):
+    """BASELINE north star: per-head logits vs the Keras reference."""
+    for ours, theirs, name in zip(parity_setup["flax"],
+                                  parity_setup["keras"],
+                                  ("p8", "p16", "p32")):
+        assert ours.shape == theirs.shape, name
+        np.testing.assert_allclose(ours, theirs, atol=2e-3, err_msg=name)
+
+
+def test_merged_packing_matches(parity_setup):
+    """pack_heads reproduces the reference's merged single-tensor layout
+    (yolov3_detector.py:79-86) bit-for-bit against the Keras graph."""
+    p8, p16, p32 = parity_setup["flax"]
+    merged = np.asarray(pack_heads(jnp.asarray(p8), jnp.asarray(p16),
+                                   jnp.asarray(p32)))
+    assert merged.shape == parity_setup["merged"].shape
+    np.testing.assert_allclose(merged, parity_setup["merged"], atol=2e-3)
+
+
+def test_decoded_boxes_match(parity_setup):
+    """Decoded corner boxes + scores from both models' logits agree."""
+    cfg = parity_setup["cfg"]
+    dec = YOLOv3Decoder(cfg)
+    ours = dec.decode([jnp.asarray(t) for t in parity_setup["flax"]])
+    theirs = dec.decode([jnp.asarray(t) for t in parity_setup["keras"]])
+    for (_, d_o, b_o), (_, d_t, b_t), name in zip(ours, theirs,
+                                                  ("p8", "p16", "p32")):
+        np.testing.assert_allclose(np.asarray(b_o), np.asarray(b_t),
+                                   atol=5e-3, err_msg=name)
+        np.testing.assert_allclose(np.asarray(d_o[..., 4]),
+                                   np.asarray(d_t[..., 4]),
+                                   atol=1e-3, err_msg=name + " score")
