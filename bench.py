@@ -106,7 +106,9 @@ def main():
     float(metrics["total_loss"])
     dt = time.perf_counter() - t0
 
-    n_chips = max(1, len(jax.devices()))
+    # per-chip: divide by the mesh data-axis size the step actually ran on
+    # (num_devices=1 above), not the host's total device count
+    n_chips = max(1, trainer.mesh.shape[cfg.data_axis])
     img_s = batch * steps / dt / n_chips
     print(json.dumps({
         "metric": "train_images_per_sec_per_chip_416",

@@ -50,3 +50,15 @@ def test_average_precision_all_point():
     ap = average_precision(np.asarray([0.5, 0.5, 1.0]),
                            np.asarray([1.0, 0.5, 2 / 3]))
     np.testing.assert_allclose(ap, 0.5 * 1.0 + 0.5 * (2 / 3))
+
+
+def test_zero_gt_class_excluded_from_map():
+    """Cartucho convention: a class with detections but no ground truth is
+    excluded from the mAP mean and reported as a false-positive class."""
+    gts = [np.asarray([[0, 0, 10, 10, 0]])]
+    dets = [np.asarray([[0, 0, 10, 10, 0.9, 0],      # perfect for class 0
+                        [50, 50, 60, 60, 0.95, 7]])]  # spurious class 7
+    r = evaluate_map(dets, gts)
+    assert r["mAP"] == 1.0  # class 7 must not deflate the mean
+    assert np.isnan(r["per_class"][7])
+    assert r["false_positive_classes"] == {7: 1}

@@ -96,6 +96,34 @@ def test_augmented_step_runs():
     assert not np.array_equal(np.asarray(st.rng), rng_before)
 
 
+def test_lr_schedule_follows_actual_steps_per_epoch():
+    """train(steps_per_epoch=N) must re-derive the LR schedule so the
+    piecewise boundaries fire at the right real epochs (reference: the
+    LearningRateScheduler fires per actual epoch, trainer.py:94;
+    configs.py:23-27), not at the config-default step/epoch mapping."""
+    from yolov3_tensorflow_tpu.data.loader import Batch
+    cfg = _cfg(step_epoch=(1, 3), step_lr=(1e-3, 1e-5))
+    assert cfg.steps_per_epoch == 3  # ceil(20/8): the default divisor
+    tr = YOLOv3Trainer(cfg, restore=False,
+                       checkpoint_dir=tempfile.mkdtemp())
+    images, labels = _batch(8)
+
+    def batches():
+        while True:
+            yield Batch(np.asarray(images), np.asarray(labels))
+
+    custom_spe = 2
+    tr.train(batches(), epochs=3, steps_per_epoch=custom_spe)
+    assert tr._schedule_spe == custom_spe
+    # epoch = step // 2; lr_func: epochs 0..1 -> 1e-3, epochs 2+ -> 1e-5
+    for step, expect in ((0, 1e-3), (3, 1e-3), (4, 1e-5), (9, 1e-5)):
+        np.testing.assert_allclose(float(tr.schedule(step)), expect,
+                                   rtol=1e-6, err_msg=f"step {step}")
+    # the rebuilt optimizer kept the live opt_state: training continued
+    assert int(tr.state.step) == 3 * custom_spe
+    assert np.isfinite(tr.history).all()
+
+
 def test_export_roundtrip_fp32():
     from yolov3_tensorflow_tpu.infer.export import (load_serving,
                                                     save_serving)

@@ -22,6 +22,7 @@ Behavioural parity:
 """
 from __future__ import annotations
 
+import logging
 import os
 import queue
 import threading
@@ -157,11 +158,22 @@ class Dataset:
         self._cache = {} if cache else None
         # transformed labels are deterministic per example: precompute
         self._labels = []
+        overflow = 0
         for ex in self.examples:
             with Image.open(ex.path) as im:
                 sw, sh = im.size
             t = transform_labels(ex.labels, (sh, sw), self.dst_hw)
+            if len(t) > cfg.max_boxes:
+                overflow += 1
             self._labels.append(pad_labels(t, cfg.max_boxes))
+        if overflow:
+            # the static pad bound drops ground truth silently otherwise —
+            # the reference pads dynamically with no cap (file_util.py:97)
+            logging.warning(
+                "%d/%d examples exceed cfg.max_boxes=%d; excess ground-truth "
+                "boxes are DROPPED from training/eval. Raise Config.max_boxes "
+                "to cover the densest image.",
+                overflow, len(self.examples), cfg.max_boxes)
 
     def __len__(self):
         return len(self.examples)

@@ -48,7 +48,13 @@ def evaluate_map(
     detections: per image, (k, 6) rows [x0 y0 x1 y1 score class]
     ground_truths: per image, (m, 5) rows [x0 y0 x1 y1 class]
     All boxes in the same coordinate space.
-    Returns {"mAP": float, "per_class": {cls: ap}, "num_gt": {cls: n}}.
+    Returns {"mAP": float, "per_class": {cls: ap}, "num_gt": {cls: n},
+    "false_positive_classes": {cls: n_dets}}.
+
+    Cartucho/mAP (the tool the reference delegates to, run.py:78-79)
+    averages only over classes present in the ground truth; classes that
+    have detections but zero GT are therefore EXCLUDED from the mean (their
+    AP is NaN) and reported in ``false_positive_classes`` instead.
     """
     # gather per-class detection records: (score, image_idx, box)
     per_class_dets = defaultdict(list)
@@ -65,7 +71,8 @@ def evaluate_map(
         n_gt = gt_count.get(cls, 0)
         dets = sorted(per_class_dets.get(cls, []), key=lambda d: -d[0])
         if n_gt == 0:
-            aps[cls] = 0.0 if dets else float("nan")
+            # zero-GT class: excluded from the mAP mean (Cartucho convention)
+            aps[cls] = float("nan")
             continue
         matched = {i: np.zeros(
             int(np.sum(np.asarray(g).reshape(-1, 5)[:, 4] == cls)), bool)
@@ -91,8 +98,11 @@ def evaluate_map(
         aps[cls] = average_precision(recall, precision)
 
     real = [v for v in aps.values() if not np.isnan(v)]
+    fp_classes = {cls: len(per_class_dets[cls])
+                  for cls in per_class_dets if gt_count.get(cls, 0) == 0}
     return {"mAP": float(np.mean(real)) if real else 0.0,
-            "per_class": aps, "num_gt": dict(gt_count)}
+            "per_class": aps, "num_gt": dict(gt_count),
+            "false_positive_classes": fp_classes}
 
 
 def detections_to_eval_format(per_head_boxes: List[np.ndarray]) -> np.ndarray:

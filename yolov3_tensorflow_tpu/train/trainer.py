@@ -50,6 +50,7 @@ class YOLOv3Trainer:
         self.model = build_detector(cfg)
         self.loss_fn = YOLOv3Loss(cfg)
         self.tx, self.schedule = make_optimizer(cfg)
+        self._schedule_spe = cfg.steps_per_epoch
         self.mesh = mesh if mesh is not None else mesh_from_config(cfg)
 
         h, w, c = cfg.input_image_size
@@ -113,6 +114,25 @@ class YOLOv3Trainer:
             self.cfg, self.loss_fn)
         self.train_step, self.eval_step, self.forward = \
             self._size_steps[(base_hw[0], base_hw[1])]
+
+    def _ensure_schedule(self, steps_per_epoch: int):
+        """Re-derive the LR schedule when training uses a steps_per_epoch
+        different from the config default the optimizer was built with.
+
+        The epoch-piecewise schedule maps step -> epoch via
+        ``step // steps_per_epoch`` (reference: LearningRateScheduler fires
+        per real epoch, trainer.py:94); a mismatched divisor silently fires
+        the LR boundaries at the wrong epochs.  The optimizer state
+        structure is schedule-independent, so the live opt_state remains
+        valid across the rebuild — only the jitted steps are recompiled."""
+        if steps_per_epoch == self._schedule_spe:
+            return
+        logging.info(
+            "LR schedule rebuilt for steps_per_epoch=%d (config default %d)",
+            steps_per_epoch, self._schedule_spe)
+        self.tx, self.schedule = make_optimizer(self.cfg, steps_per_epoch)
+        self._schedule_spe = steps_per_epoch
+        self._build_steps()
 
     def _compile_steps(self, cfg, loss_fn):
         model, tx, schedule = self.model, self.tx, self.schedule
@@ -195,6 +215,7 @@ class YOLOv3Trainer:
         cfg = self.cfg
         epochs = epochs if epochs is not None else cfg.epoch
         spe = steps_per_epoch or cfg.steps_per_epoch
+        self._ensure_schedule(spe)
         best = float("inf")
         patience = 0
         start_epoch = int(self.state.step) // spe
@@ -258,6 +279,7 @@ class YOLOv3Trainer:
         cfg = self.cfg
         epochs = epochs if epochs is not None else cfg.epoch
         spe = steps_per_epoch or cfg.steps_per_epoch
+        self._ensure_schedule(spe)
         sizes = list(batches_by_size.keys())
         start_epoch = int(self.state.step) // spe
         for epoch in range(start_epoch, epochs):
