@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 from jax.experimental import pallas as pl
 
-import yolov3_tensorflow_tpu.ops.pallas_conv as pc
+import pallas_conv as pc
 
 
 @pytest.fixture(autouse=True)
