@@ -44,50 +44,53 @@ def log_epoch(epoch: int, lr: float, total_loss: float, kernel_reg: float,
 
 class TensorBoardWriter:
     """Sub-loss overlay + gamma histogram TB writer (board_callback parity).
-    Degrades to a no-op when tensorflow isn't importable."""
+
+    TF-free: events are written by the in-repo pure-Python encoder
+    (utils/tb_writer.py), so observability works in a JAX-only install."""
 
     def __init__(self, log_dir: str):
+        from ..utils.tb_writer import EventFileWriter
         self.log_dir = log_dir
+        self._cls = EventFileWriter
         self._writers = {}
-        try:
-            import tensorflow as tf  # noqa: F811
-            self._tf = tf
-            self._main = tf.summary.create_file_writer(log_dir)
-        except Exception:  # pragma: no cover - env without TF
-            self._tf = None
-            self._main = None
+        self._main = EventFileWriter(log_dir)
 
     def _writer(self, name: str):
         if name not in self._writers:
-            self._writers[name] = self._tf.summary.create_file_writer(
-                f"{self.log_dir}/{name}")
+            self._writers[name] = self._cls(f"{self.log_dir}/{name}")
         return self._writers[name]
 
     def write_epoch(self, epoch: int, lr: float, total_loss: float,
                     breakdown: Dict[str, np.ndarray],
                     params: Optional[dict] = None):
-        if self._tf is None:
-            return
-        tf = self._tf
         # each sub-loss in its own subdir, same tag -> TB overlays
         # (board_callback.py:43-50, 91-104)
         for key in LOSS_KEYS:
             vals = np.asarray(breakdown[key])
             for tag, v in zip(HEAD_TAGS, vals):
-                with self._writer(f"{key}/{tag}").as_default():
-                    tf.summary.scalar("loss", float(v), step=epoch)
-        with self._writer("total").as_default():
-            tf.summary.scalar("loss", float(total_loss), step=epoch)
-        with self._main.as_default():
-            tf.summary.scalar("learning_rate", float(lr), step=epoch)
-            if params is not None:
-                gammas = gamma_vector(params)
-                if gammas.size:
-                    tf.summary.histogram("bn_gamma", gammas, step=epoch)
+                self._writer(f"{key}/{tag}").scalar("loss", float(v), epoch)
+        self._writer("total").scalar("loss", float(total_loss), epoch)
+        self._main.scalar("learning_rate", float(lr), epoch)
+        if params is not None:
+            gammas = gamma_vector(params)
+            if gammas.size:
+                self._main.histogram("bn_gamma", gammas, epoch)
+
+    def write_model_structure(self, hlo_text: str, param_summary: str):
+        """Model-structure artifact at train start (the analog of
+        MyTensorBoard's Keras graph dump, board_callback.py:42-43): the
+        jitted train step's StableHLO module plus a parameter-tree summary,
+        written both as TB text summaries and as plain files in log_dir."""
+        import os
+        self._main.text("model/param_tree", param_summary)
+        self._main.text("model/stablehlo", hlo_text[:500_000])
+        with open(os.path.join(self.log_dir, "train_step_hlo.txt"),
+                  "w") as fh:
+            fh.write(hlo_text)
+        with open(os.path.join(self.log_dir, "param_tree.txt"), "w") as fh:
+            fh.write(param_summary)
 
     def close(self):
-        if self._tf is None:
-            return
         for w in self._writers.values():
             w.close()
         self._main.close()

@@ -207,6 +207,28 @@ class YOLOv3Trainer:
                     out_shardings=repl),
         )
 
+    def _model_structure(self):
+        """(StableHLO text, param-tree summary) for the base train step —
+        the TB model-structure artifact (analog of the reference's Keras
+        graph write, board_callback.py:42-43)."""
+        cfg = self.cfg
+        h, w, c = cfg.input_image_size
+        b = cfg.batch_size
+        img = jax.ShapeDtypeStruct((b, h, w, c), jnp.float32)
+        lab = jax.ShapeDtypeStruct((b, cfg.max_boxes, 5), jnp.float32)
+        sds = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+            self.state)
+        hlo = self.train_step.lower(sds, img, lab).as_text()
+        lines, total = [], 0
+        flat = jax.tree_util.tree_flatten_with_path(self.state.params)[0]
+        for path, leaf in flat:
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            lines.append(f"{name}  {tuple(leaf.shape)}  {leaf.dtype}")
+            total += leaf.size
+        lines.append(f"TOTAL parameters: {total}")
+        return hlo, "\n".join(lines)
+
     # ------------------------------------------------------------------ #
     def train(self, train_batches: Iterator, val_batches=None,
               epochs: Optional[int] = None,
@@ -216,6 +238,12 @@ class YOLOv3Trainer:
         epochs = epochs if epochs is not None else cfg.epoch
         spe = steps_per_epoch or cfg.steps_per_epoch
         self._ensure_schedule(spe)
+        if self.tb is not None:
+            try:
+                self.tb.write_model_structure(*self._model_structure())
+            except Exception:
+                logging.warning("model-structure TB artifact failed",
+                                exc_info=True)
         best = float("inf")
         patience = 0
         start_epoch = int(self.state.step) // spe
