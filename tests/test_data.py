@@ -111,3 +111,28 @@ def test_parse_label_file(sample_paths):
     assert len(ex) == 20
     assert ex[0].labels.shape == (2, 5)  # 000001.jpg has two objects
     assert ex[3].labels.shape == (7, 5)  # 000004.jpg has seven
+
+
+def test_cache_auto_streams_large_corpora(sample_paths, tmp_path):
+    """cache="auto" caches the 20-image sample but streams a synthetic
+    10k-line corpus (the RAM landmine from VERDICT r1 item 5)."""
+    cfg = Config(input_image_size=(96, 128, 3), max_boxes=8, batch_size=4)
+    small = Dataset(cfg, sample_paths["label"], sample_paths["images"])
+    assert small._cache is not None  # 20 images fit the auto budget
+
+    # fabricate a big label file reusing the sample images (paths repeat;
+    # decoded footprint 10k * 416*416*3 would be ~5 GB)
+    big_cfg = Config(input_image_size=(416, 416, 3), max_boxes=8,
+                     batch_size=4)
+    lines = open(sample_paths["label"]).read().splitlines()
+    biglabel = tmp_path / "label.txt"
+    biglabel.write_text("\n".join(lines[i % len(lines)]
+                                  for i in range(10_000)))
+    big = Dataset(big_cfg, str(biglabel), sample_paths["images"])
+    assert big._cache is None  # streams uncached
+    b = next(big.batches())
+    assert b.images.shape == (4, 416, 416, 3)
+    # explicit override still wins
+    forced = Dataset(big_cfg, str(biglabel), sample_paths["images"],
+                     cache=True)
+    assert forced._cache is not None

@@ -1,0 +1,95 @@
+"""Input-pipeline benchmark: prove the uncached streaming path at corpus
+scale (VERDICT r1 item 5).
+
+Generates N synthetic JPEGs (default 1000), then measures:
+  1. host pipeline img/s: uncached ``Dataset.prefetch`` (native C++ decode
+     + letterbox + batch stack) — the framework's host-side capability;
+  2. (--train) end-to-end train img/s with ``device_prefetch`` feeding the
+     real jitted train step — on the axon relay this is transfer-bound
+     (an infrastructure artifact, see PERF.md "Host->device transfer");
+  3. peak RSS, demonstrating no RAM blow-up without the cache.
+
+Usage:
+  python -m yolov3_tensorflow_tpu.tools.bench_input [--images N]
+      [--batch B] [--steps S] [--train]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import resource
+import tempfile
+import time
+
+
+def rss_gb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", type=int, default=1000)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--size", type=int, nargs=2, default=(416, 416))
+    ap.add_argument("--train", action="store_true",
+                    help="also run the end-to-end training measurement")
+    ap.add_argument("--dir", default=None,
+                    help="dataset dir (generated under tmp if omitted)")
+    args = ap.parse_args(argv)
+
+    from .make_synthetic_dataset import generate
+    from ..config import Config
+    from ..data.loader import Dataset
+
+    out = args.dir or os.path.join(tempfile.gettempdir(),
+                                   f"bench_input_{args.images}")
+    label = os.path.join(out, "label.txt")
+    if not os.path.exists(label):
+        print(f"generating {args.images} synthetic JPEGs under {out} ...")
+        generate(out, num_images=args.images, size=(512, 384))
+    cfg = Config(input_image_size=(args.size[0], args.size[1], 3),
+                 batch_size=args.batch, max_boxes=8, num_devices=1)
+    ds = Dataset(cfg, label, os.path.join(out, "images"), cache="auto")
+    assert ds._cache is None or args.images * args.size[0] * args.size[1] \
+        * 3 <= 2 << 30, "auto cache should be off at corpus scale"
+
+    # 1. host pipeline throughput (uncached streaming, native decode)
+    it = ds.prefetch(args.batch, repeat=True, depth=4)
+    next(it)  # warm the thread
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        next(it)
+    dt = time.perf_counter() - t0
+    host_rate = args.batch * args.steps / dt
+    print(f"host pipeline (uncached, native decode): {host_rate:.0f} img/s")
+    print(f"peak RSS: {rss_gb():.2f} GB "
+          f"(decoded corpus would be "
+          f"{args.images * args.size[0] * args.size[1] * 3 / 1e9:.1f} GB)")
+
+    if args.train:
+        import jax.numpy as jnp
+        from ..train.trainer import YOLOv3Trainer
+        trainer = YOLOv3Trainer(cfg, restore=False,
+                                checkpoint_dir=tempfile.mkdtemp())
+        it = ds.device_prefetch(args.batch, repeat=True)
+        state = trainer.state
+        b = next(it)
+        for _ in range(2):
+            state, metrics = trainer.train_step(
+                state, jnp.asarray(b.images), jnp.asarray(b.labels))
+        float(metrics["total_loss"])
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            b = next(it)
+            state, metrics = trainer.train_step(
+                state, jnp.asarray(b.images), jnp.asarray(b.labels))
+        float(metrics["total_loss"])
+        dt = time.perf_counter() - t0
+        print(f"end-to-end train (streaming input): "
+              f"{args.batch * args.steps / dt:.0f} img/s")
+        print(f"peak RSS: {rss_gb():.2f} GB")
+
+
+if __name__ == "__main__":
+    main()
