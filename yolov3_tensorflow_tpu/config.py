@@ -157,6 +157,14 @@ class Config:
     # bfloat16 compute on the conv path (fp32 master params); the reference is
     # fp32-only — bf16 is the TPU-native choice for the MXU.
     compute_dtype: str = "bfloat16"
+    # conv algorithm: "xla" = direct convolution (default; exact-parity
+    # mode), "winograd"/"auto" run eligible 3x3/s1 convs on the fused
+    # Winograd Pallas kernel (TPU + bf16).  The plain un-fused swap
+    # measured NET-NEGATIVE on the train step (the kernel matches XLA's
+    # conv time but breaks XLA's conv<->BN fusion clusters, +18ms of
+    # standalone elementwise passes) — the fused bn+relu prologue /
+    # stats epilogue path is what makes winograd pay (see PERF.md).
+    conv_backend: str = "xla"
 
     # ------------------------------------------------------------------ #
     # Derived fields (reference configs.py:43-49,73-79)

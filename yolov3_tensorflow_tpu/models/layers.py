@@ -83,17 +83,64 @@ class FusedBatchNorm(nn.Module):
         return y
 
 
+class WinogradConv3x3(nn.Module):
+    """3x3/s1/SAME conv on the fused Winograd Pallas kernel
+    (ops/winograd.py).  Param subtree ({kernel}) and the auto-name
+    "Conv_N" match nn.Conv exactly, so checkpoints and the parity weight
+    mapping are backend-independent."""
+
+    features: int
+    kernel_init: Any = nn.initializers.he_normal()
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.winograd import conv3x3
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (3, 3, x.shape[-1], self.features), self.param_dtype)
+        return conv3x3(x.astype(self.dtype), kernel.astype(self.dtype))
+
+
+WinogradConv3x3.__name__ = "Conv"  # share flax's Conv_N name counter
+
+
 class BasicBackbone(nn.Module):
     """Base module giving all backbones the shared op vocabulary."""
 
     dtype: Any = jnp.bfloat16  # conv compute dtype (MXU)
     param_dtype: Any = jnp.float32
+    conv_backend: str = "auto"  # auto | winograd | xla
+
+    def _use_winograd(self, x, filters, kernel_size, strides, padding,
+                      feature_group_count) -> bool:
+        from ..ops.winograd import eligible
+        if self.conv_backend == "xla":
+            return False
+        if not eligible(x.shape, filters, kernel_size, strides, padding,
+                        feature_group_count):
+            return False
+        if self.conv_backend == "winograd":
+            return True
+        # auto: fused kernel on TPU-like backends with bf16 compute
+        return (jax.default_backend() != "cpu"
+                and jnp.dtype(self.dtype) == jnp.bfloat16)
 
     # ------------------------------------------------------------- ops --
     def conv(self, x, filters, kernel_size=(3, 3), strides=(1, 1),
              padding="SAME", use_bias=False, feature_group_count=1):
         """Conv with he_normal init, default 3x3/1 same, no bias
-        (basic_backbone.py:20-43)."""
+        (basic_backbone.py:20-43).  Eligible 3x3/s1 convs run on the
+        fused Winograd kernel (see ops/winograd.py)."""
+        if self._use_winograd(x, filters, kernel_size, strides, padding,
+                              feature_group_count):
+            return WinogradConv3x3(
+                features=filters,
+                kernel_init=nn.initializers.he_normal(),
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )(x)
         return nn.Conv(
             features=filters,
             kernel_size=tuple(kernel_size),
