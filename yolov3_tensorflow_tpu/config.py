@@ -157,13 +157,14 @@ class Config:
     # bfloat16 compute on the conv path (fp32 master params); the reference is
     # fp32-only — bf16 is the TPU-native choice for the MXU.
     compute_dtype: str = "bfloat16"
-    # conv algorithm: "xla" = direct convolution (default; exact-parity
-    # mode), "winograd"/"auto" run eligible 3x3/s1 convs on the fused
-    # Winograd Pallas kernel (TPU + bf16).  The plain un-fused swap
-    # measured NET-NEGATIVE on the train step (the kernel matches XLA's
-    # conv time but breaks XLA's conv<->BN fusion clusters, +18ms of
-    # standalone elementwise passes) — the fused bn+relu prologue /
-    # stats epilogue path is what makes winograd pay (see PERF.md).
+    # conv algorithm: "xla" (default) = direct convolution.  "winograd"
+    # runs eligible train-mode conv+bn->relu links on the fused Winograd
+    # Pallas kernel (ops/winograd.py): 16/36 the MACs, BN apply+relu
+    # fused into the conv input read, BN statistics into the output
+    # write.  Correct and tested, but on this backend XLA's own
+    # conv<->BN fusion clusters measure faster end-to-end (see PERF.md
+    # round-2 notes), so direct convolution stays the default; "auto"
+    # currently resolves to the same choice.
     conv_backend: str = "xla"
 
     # ------------------------------------------------------------------ #

@@ -106,6 +106,9 @@ def augment_batch(rng, images):
     # ------------------------------------------------------------ color --
     x = x + pre_b
     x = _saturate(x, s_eff)
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)  # per-channel spatial
+    # per-channel spatial mean: accumulate in fp32 even on a bf16 batch
+    # (XLA folds the convert into the reduction — no extra pass)
+    mean = jnp.mean(x.astype(jnp.float32), axis=(1, 2),
+                    keepdims=True).astype(dtype)
     x = (x - mean) * c_eff + mean + post_b
     return jnp.clip(x, 0.0, 1.0)

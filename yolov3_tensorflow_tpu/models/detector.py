@@ -78,8 +78,7 @@ class YOLOv3Detector(BasicBackbone):
         c8, c16, c32 = self.head_channel_nums
 
         # /32 head (yolov3_detector.py:88-101)
-        net = self.conv_bn(s32, 512, train=train)
-        net = self.activation(net)
+        net = self.conv_bn_relu(s32, 512, train=train)
         p32 = self._head_out_conv(net, c32, "32")
 
         # /16 head (yolov3_detector.py:103-126): branches off the raw s32
@@ -91,8 +90,7 @@ class YOLOv3Detector(BasicBackbone):
             [net, jnp.asarray(s16, net.dtype)], axis=-1)
         merge16 = self.conv_bn(merge16, 256, train=train, kernel_size=(1, 1))
         merge16 = self.activation(merge16)
-        net = self.conv_bn(merge16, 512, train=train)
-        net = self.activation(net)
+        net = self.conv_bn_relu(merge16, 512, train=train)
         p16 = self._head_out_conv(net, c16, "16")
 
         # /8 head (yolov3_detector.py:128-151): branches off merge16.
@@ -102,8 +100,7 @@ class YOLOv3Detector(BasicBackbone):
         merge8 = jnp.concatenate([net, jnp.asarray(s8, net.dtype)], axis=-1)
         merge8 = self.conv_bn(merge8, 128, train=train, kernel_size=(1, 1))
         merge8 = self.activation(merge8)
-        merge8 = self.conv_bn(merge8, 256, train=train)
-        merge8 = self.activation(merge8)
+        merge8 = self.conv_bn_relu(merge8, 256, train=train)
         p8 = self._head_out_conv(merge8, c8, "8")
 
         return (jnp.asarray(p8, jnp.float32), jnp.asarray(p16, jnp.float32),

@@ -24,6 +24,7 @@ from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 L2_CONV_DECAY = 5.0e-4  # conv kernel weight decay (basic_backbone.py:11)
@@ -54,8 +55,13 @@ class FusedBatchNorm(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     @nn.compact
-    def __call__(self, x):
-        features = x.shape[-1]
+    def __call__(self, x=None, stats=None):
+        """Classic mode (``x``): normalize the tensor.  Stats mode
+        (``stats=(sum, sumsq, count)``, fused Winograd path): the
+        statistics were already accumulated in a conv epilogue — update
+        the running averages and return the fp32 ``(inv, shift)`` apply
+        scalars; the apply itself rides the consumer's input read."""
+        features = x.shape[-1] if x is not None else stats[0].shape[-1]
         scale = self.param("scale", nn.initializers.ones, (features,),
                            self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (features,),
@@ -65,19 +71,29 @@ class FusedBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((features,), jnp.float32))
         if self.use_running_average:
+            assert stats is None, "stats mode is train-only"
             mean, var = ra_mean.value, ra_var.value
         else:
-            x32 = x.astype(jnp.float32)
-            axes = tuple(range(x32.ndim - 1))
-            mean = jnp.mean(x32, axis=axes)
-            mean2 = jnp.mean(jnp.square(x32), axis=axes)
+            if stats is not None:
+                s, q, count = stats
+                mean = s / count
+                mean2 = q / count
+            else:
+                x32 = x.astype(jnp.float32)
+                axes = tuple(range(x32.ndim - 1))
+                mean = jnp.mean(x32, axis=axes)
+                mean2 = jnp.mean(jnp.square(x32), axis=axes)
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 m = self.momentum
-                ra_mean.value = m * ra_mean.value + (1 - m) * mean
-                ra_var.value = m * ra_var.value + (1 - m) * var
+                ra_mean.value = m * ra_mean.value \
+                    + (1 - m) * jax.lax.stop_gradient(mean)
+                ra_var.value = m * ra_var.value \
+                    + (1 - m) * jax.lax.stop_gradient(var)
         inv = jax.lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
         shift = bias.astype(jnp.float32) - mean * inv
+        if stats is not None:
+            return inv, shift
         y = x.astype(self.dtype) * inv.astype(self.dtype) \
             + shift.astype(self.dtype)
         return y
@@ -86,8 +102,13 @@ class FusedBatchNorm(nn.Module):
 class WinogradConv3x3(nn.Module):
     """3x3/s1/SAME conv on the fused Winograd Pallas kernel
     (ops/winograd.py).  Param subtree ({kernel}) and the auto-name
-    "Conv_N" match nn.Conv exactly, so checkpoints and the parity weight
-    mapping are backend-independent."""
+    "Conv_N" match nn.Conv exactly (shared flax name counter), so
+    checkpoints and the parity weight mapping are backend-independent.
+
+    Called with ``prologue=(inv, shift)`` the previous BatchNorm's
+    apply + relu ride the conv's input read; the return value is always
+    ``(y_raw, (sum, sumsq))`` with this conv's output statistics
+    accumulated in the kernel epilogue for the NEXT BatchNorm."""
 
     features: int
     kernel_init: Any = nn.initializers.he_normal()
@@ -95,12 +116,18 @@ class WinogradConv3x3(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        from ..ops.winograd import conv3x3
+    def __call__(self, x, prologue=None):
+        from ..ops.winograd import conv3x3_bn_act_stats, conv3x3_stats
         kernel = self.param(
             "kernel", self.kernel_init,
             (3, 3, x.shape[-1], self.features), self.param_dtype)
-        return conv3x3(x.astype(self.dtype), kernel.astype(self.dtype))
+        k = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        if prologue is not None:
+            y, s, q = conv3x3_bn_act_stats(x, k, *prologue)
+        else:
+            y, s, q = conv3x3_stats(x, k)
+        return y, (s, q)
 
 
 WinogradConv3x3.__name__ = "Conv"  # share flax's Conv_N name counter
@@ -123,24 +150,19 @@ class BasicBackbone(nn.Module):
             return False
         if self.conv_backend == "winograd":
             return True
-        # auto: fused kernel on TPU-like backends with bf16 compute
-        return (jax.default_backend() != "cpu"
-                and jnp.dtype(self.dtype) == jnp.bfloat16)
+        # "auto" currently resolves to direct convolution: on this
+        # backend XLA's conv<->BN fusion clusters outrun the fused
+        # Winograd path end-to-end (PERF.md round-2 measurements)
+        return False
 
     # ------------------------------------------------------------- ops --
     def conv(self, x, filters, kernel_size=(3, 3), strides=(1, 1),
              padding="SAME", use_bias=False, feature_group_count=1):
         """Conv with he_normal init, default 3x3/1 same, no bias
-        (basic_backbone.py:20-43).  Eligible 3x3/s1 convs run on the
-        fused Winograd kernel (see ops/winograd.py)."""
-        if self._use_winograd(x, filters, kernel_size, strides, padding,
-                              feature_group_count):
-            return WinogradConv3x3(
-                features=filters,
-                kernel_init=nn.initializers.he_normal(),
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-            )(x)
+        (basic_backbone.py:20-43).  Always direct XLA convolution — the
+        Winograd kernel only enters through the FUSED helpers below
+        (a bare conv swap measured net-negative: it breaks XLA's
+        conv<->BN fusion clusters)."""
         return nn.Conv(
             features=filters,
             kernel_size=tuple(kernel_size),
@@ -206,6 +228,55 @@ class BasicBackbone(nn.Module):
         """(basic_backbone.py:127-138)"""
         return self.batch_normalization(
             self.conv(x, filters, **conv_params), train)
+
+    # ------------------------------------------- winograd fused chain --
+    def fused_ok(self, x, filters, train: bool) -> bool:
+        """Can a conv_bn->relu link run on the fused Winograd path?"""
+        return bool(train) and self._use_winograd(
+            x, filters, (3, 3), (1, 1), "SAME", 1)
+
+    def fused_conv_stats(self, x, filters, prologue=None):
+        """Winograd conv returning (y_raw, (sum, sumsq)); with
+        ``prologue=(inv, shift)`` the previous BN apply+relu is fused
+        into the input read (see WinogradConv3x3)."""
+        return WinogradConv3x3(
+            features=filters,
+            kernel_init=nn.initializers.he_normal(),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x, prologue=prologue)
+
+    def bn_scalars(self, y_shape, stats, train: bool):
+        """BatchNorm in stats mode: consumes epilogue-accumulated
+        (sum, sumsq) of the conv output and returns (inv, shift); the
+        module is the SAME FusedBatchNorm_k (params/averages) the classic
+        path would create."""
+        assert train, "fused path is train-only"
+        count = float(np.prod([y_shape[0], y_shape[1], y_shape[2]]))
+        s, q = stats
+        return FusedBatchNorm(
+            use_running_average=False,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPSILON,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(stats=(s, q, count))
+
+    def bn_apply(self, x, inv, shift):
+        """The classic BN apply arithmetic (compute-dtype mul+add), for
+        materializing an activation at a fused-chain boundary."""
+        return x.astype(self.dtype) * inv.astype(self.dtype) \
+            + shift.astype(self.dtype)
+
+    def conv_bn_relu(self, x, filters, train: bool = True):
+        """conv_bn -> relu, on the fused Winograd path when eligible
+        (conv with stats epilogue + one materializing apply pass),
+        otherwise the classic composition."""
+        if self.fused_ok(x, filters, train):
+            y, st = self.fused_conv_stats(x, filters)
+            inv, shift = self.bn_scalars(y.shape, st, train)
+            return self.activation(self.bn_apply(y, inv, shift))
+        return self.activation(self.conv_bn(x, filters, train=train))
 
     def depthwise_conv_bn(self, x, train: bool = True, **conv_params):
         """(basic_backbone.py:140-150)"""

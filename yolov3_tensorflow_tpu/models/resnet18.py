@@ -16,7 +16,23 @@ class ResNet18(BasicBackbone):
     def _residual_block(self, x, filters, is_nin=True, train=True,
                         strides=(1, 1)):
         """input-> conv+bn->relu-> conv+bn-> add->relu
-        (resnet18.py:18-35)."""
+        (resnet18.py:18-35).
+
+        Fused Winograd path (train, TPU, stride 1): both 3x3 convs run
+        as single fused kernels — conv1 computes its BN statistics in
+        the output epilogue, conv2 applies bn1+relu in its input read
+        (no standalone apply pass) and computes bn2's statistics; only
+        the block-boundary add+relu materializes an activation."""
+        if strides == (1, 1) and self.fused_ok(x, filters, train):
+            y1, st1 = self.fused_conv_stats(x, filters)
+            inv1, shift1 = self.bn_scalars(y1.shape, st1, train)
+            y2, st2 = self.fused_conv_stats(y1, filters,
+                                            prologue=(inv1, shift1))
+            inv2, shift2 = self.bn_scalars(y2.shape, st2, train)
+            residual = self.bn_apply(y2, inv2, shift2)
+            out = self.element_wise_add(x, residual, is_nin=is_nin,
+                                        train=train)
+            return self.activation(out)
         residual = self.conv_bn(x, filters, train=train, strides=strides)
         residual = self.activation(residual)
         residual = self.conv_bn(residual, filters, train=train)

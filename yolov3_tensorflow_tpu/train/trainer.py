@@ -150,7 +150,11 @@ class YOLOv3Trainer:
             new_rng = jax.random.key_data(new_key)
             images = normalize(images)
             if cfg.is_augment:
-                images = augment_batch(rng, images)
+                # augment in the compute dtype: the chain is ~5 passes over
+                # the full-res batch and purely photometric on 8-bit image
+                # content — bf16 halves its HBM traffic (stats stay fp32)
+                images = augment_batch(
+                    rng, images.astype(jnp.dtype(cfg.compute_dtype)))
 
             def compute(params):
                 heads, mut = model.apply(
