@@ -1,0 +1,118 @@
+"""Fused stem BN+maxpool+relu: forward parity with the classic
+composition and backward correctness (tie-free exact match vs autodiff;
+gradient-mass conservation under ties)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolov3_tensorflow_tpu.ops.stem_pool import bn_pool_relu, supported
+
+
+def classic(y, inv, shift):
+    """relu(max_pool3x3s2(y*inv + shift)) on the [H,W,C,N] view, built
+    from lax ops (the reference composition, layers.py classic path);
+    pool runs in f32 so the reference is reverse-differentiable."""
+    bn = (y.astype(jnp.bfloat16) * inv.astype(jnp.bfloat16)[None, None,
+                                                            :, None]
+          + shift.astype(jnp.bfloat16)[None, None, :, None])
+    pooled = jax.lax.reduce_window(
+        bn.astype(jnp.float32), -jnp.inf,
+        jax.lax.max, (3, 3, 1, 1), (2, 2, 1, 1), "SAME")
+    return jnp.maximum(pooled, 0.0)
+
+
+def unique_input(H, W, C, N, seed=0):
+    """bf16 tensor with all-distinct values (no pooling ties)."""
+    rng = np.random.RandomState(seed)
+    vals = (np.arange(H * W * C * N) - H * W * C * N / 2).astype(np.float32)
+    rng.shuffle(vals)
+    return jnp.asarray(vals.reshape(H, W, C, N) * 1e-3, jnp.bfloat16)
+
+
+def test_supported():
+    assert supported((208, 208, 64, 128))
+    assert not supported((210, 208, 64, 128))  # H % 8 != 0
+
+
+def test_forward_matches_classic():
+    H, W, C, N = 16, 8, 8, 4
+    y = unique_input(H, W, C, N)
+    inv = jnp.asarray(np.random.RandomState(1).randn(C) * 0.5 + 1.0,
+                      jnp.float32)
+    shift = jnp.asarray(np.random.RandomState(2).randn(C) * 0.2,
+                        jnp.float32)
+    ref = classic(y, inv, shift).astype(jnp.float32)
+    got = bn_pool_relu(y, inv, shift).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_backward_tie_free_matches_autodiff():
+    H, W, C, N = 16, 8, 8, 4
+    y = unique_input(H, W, C, N, seed=3).astype(jnp.float32)
+    inv = jnp.asarray(np.random.RandomState(1).randn(C) * 0.5 + 1.2,
+                      jnp.float32)
+    shift = jnp.asarray(np.random.RandomState(2).randn(C) * 0.2,
+                        jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(4), (H // 2, W // 2, C, N))
+
+    def loss_ref(y, inv, shift):
+        return jnp.sum(classic(y, inv, shift).astype(jnp.float32) * g)
+
+    def loss_fused(y, inv, shift):
+        return jnp.sum(bn_pool_relu(y, inv, shift).astype(jnp.float32)
+                       * g)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(y, inv, shift)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(y, inv, shift)
+    # positions whose bf16 bn value is duplicated within their (c, n)
+    # column may be pooling ties: there the fused op legitimately splits
+    # the gradient where select-and-scatter picks first-in-scan — mask
+    # them out of the elementwise comparison
+    bn = np.asarray(
+        y.astype(jnp.bfloat16)
+        * inv.astype(jnp.bfloat16)[None, None, :, None]
+        + shift.astype(jnp.bfloat16)[None, None, :, None])
+    tie = np.zeros(bn.shape, bool)
+    for c in range(bn.shape[2]):
+        for n in range(bn.shape[3]):
+            col = bn[:, :, c, n]
+            vals, counts = np.unique(col, return_counts=True)
+            dup = set(vals[counts > 1].tolist())
+            if dup:
+                tie[:, :, c, n] = np.isin(col, list(dup))
+    for name, a, b in zip(("dy", "dinv", "dshift"), gr, gf):
+        a, b = np.asarray(a), np.asarray(b)
+        sc = float(np.max(np.abs(a))) + 1e-6
+        if name == "dy":
+            a, b = a[~tie], b[~tie]
+        np.testing.assert_allclose(b / sc, a / sc, atol=5e-2,
+                                   err_msg=name)
+    # total gradient mass must agree even across ties
+    np.testing.assert_allclose(float(np.sum(np.asarray(gf[0]))),
+                               float(np.sum(np.asarray(gr[0]))),
+                               rtol=2e-2)
+
+
+def test_tie_splitting_conserves_gradient():
+    """All-equal window values: gradient mass must be preserved (split
+    among ties), and dshift must equal the sum of active pooled grads."""
+    H, W, C, N = 16, 8, 8, 4
+    y = jnp.ones((H, W, C, N), jnp.bfloat16)
+    inv = jnp.ones((C,), jnp.float32)
+    shift = jnp.zeros((C,), jnp.float32)
+    g = jnp.ones((H // 2, W // 2, C, N), jnp.float32)
+
+    def loss(y, inv, shift):
+        return jnp.sum(bn_pool_relu(y, inv, shift).astype(jnp.float32)
+                       * g)
+
+    dy, dinv, dshift = jax.grad(loss, argnums=(0, 1, 2))(
+        y.astype(jnp.float32), inv, shift)
+    total = float(jnp.sum(dy))
+    expect = float(jnp.sum(g))  # each window routes exactly its dp
+    assert abs(total - expect) / expect < 1e-3
+    np.testing.assert_allclose(np.asarray(dshift),
+                               np.full((C,), H // 2 * W // 2 * N),
+                               rtol=1e-3)

@@ -166,6 +166,12 @@ class Config:
     # round-2 notes), so direct convolution stays the default; "auto"
     # currently resolves to the same choice.
     conv_backend: str = "xla"
+    # stem algorithm: "auto" (default) fuses the stem's BN-apply +
+    # 3x3/s2 max-pool + relu into one Pallas kernel with a tie-splitting
+    # scatter backward (replaces XLA's select-and-scatter) on TPU train
+    # paths; "xla" forces the classic composition; "fused" forces the
+    # kernel (tests)
+    stem_backend: str = "auto"
 
     # ------------------------------------------------------------------ #
     # Derived fields (reference configs.py:43-49,73-79)

@@ -73,7 +73,8 @@ class YOLOv3Detector(BasicBackbone):
             raise ValueError(f"no such backbone: {self.backbone_name}")
         backbone = BACKBONE_TYPE[self.backbone_name](
             dtype=self.dtype, param_dtype=self.param_dtype,
-            conv_backend=self.conv_backend, name="backbone")
+            conv_backend=self.conv_backend,
+            stem_backend=self.stem_backend, name="backbone")
         s8, s16, s32 = backbone(images, train=train)
         c8, c16, c32 = self.head_channel_nums
 
@@ -113,6 +114,7 @@ def build_detector(cfg: Config) -> YOLOv3Detector:
         head_channel_nums=tuple(cfg.head_channel_nums),
         dtype=jnp.dtype(cfg.compute_dtype),
         conv_backend=cfg.conv_backend,
+        stem_backend=cfg.stem_backend,
     )
 
 

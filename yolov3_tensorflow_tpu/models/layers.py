@@ -133,12 +133,46 @@ class WinogradConv3x3(nn.Module):
 WinogradConv3x3.__name__ = "Conv"  # share flax's Conv_N name counter
 
 
+class HwcnConv(nn.Module):
+    """XLA convolution that speaks the [H, W, C, N] activation view via
+    conv dimension numbers — used around the fused stem kernel so the
+    HWCN tensors flow conv-to-conv without any transpose materializing.
+    Param subtree ({kernel}, HWIO) and auto-name "Conv_N" match nn.Conv
+    exactly (shared name counter): checkpoints are layout-agnostic."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    in_hwcn: bool = False
+    out_hwcn: bool = False
+    kernel_init: Any = nn.initializers.he_normal()
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[2] if self.in_hwcn else x.shape[3]
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (*self.kernel_size, cin, self.features), self.param_dtype)
+        dn = (("HWCN" if self.in_hwcn else "NHWC"), "HWIO",
+              ("HWCN" if self.out_hwcn else "NHWC"))
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=tuple(self.strides), padding="SAME",
+            dimension_numbers=dn, preferred_element_type=self.dtype)
+
+
+HwcnConv.__name__ = "Conv"  # share flax's Conv_N name counter
+
+
 class BasicBackbone(nn.Module):
     """Base module giving all backbones the shared op vocabulary."""
 
     dtype: Any = jnp.bfloat16  # conv compute dtype (MXU)
     param_dtype: Any = jnp.float32
     conv_backend: str = "auto"  # auto | winograd | xla
+    stem_backend: str = "auto"  # auto | fused | xla
 
     def _use_winograd(self, x, filters, kernel_size, strides, padding,
                       feature_group_count) -> bool:
@@ -209,18 +243,30 @@ class BasicBackbone(nn.Module):
         raise ValueError(f"unknown activation {activation!r}")
 
     def element_wise_add(self, identity, residual, is_nin: bool = False,
-                         train: bool = True):
+                         train: bool = True, in_hwcn: bool = False):
         """Residual merge; optional 1x1 NIN conv + BN on the identity branch
         with stride inferred from the spatial-shape ratio
-        (basic_backbone.py:102-125)."""
+        (basic_backbone.py:102-125).  ``in_hwcn``: identity arrives in the
+        [H,W,C,N] stem view — the NIN conv consumes it via dimension
+        numbers and emits NHWC (is_nin is mandatory then)."""
         if is_nin:
-            stride_h = int(round(identity.shape[1] / residual.shape[1]))
-            stride_w = int(round(identity.shape[2] / residual.shape[2]))
-            identity = self.conv(identity, residual.shape[-1],
-                                 kernel_size=(1, 1),
-                                 strides=(stride_h, stride_w),
-                                 padding="VALID")
+            if in_hwcn:
+                stride_h = int(round(identity.shape[0] / residual.shape[1]))
+                stride_w = int(round(identity.shape[1] / residual.shape[2]))
+                identity = HwcnConv(
+                    features=residual.shape[-1], kernel_size=(1, 1),
+                    strides=(stride_h, stride_w), in_hwcn=True,
+                    dtype=self.dtype, param_dtype=self.param_dtype)(identity)
+            else:
+                stride_h = int(round(identity.shape[1] / residual.shape[1]))
+                stride_w = int(round(identity.shape[2] / residual.shape[2]))
+                identity = self.conv(identity, residual.shape[-1],
+                                     kernel_size=(1, 1),
+                                     strides=(stride_h, stride_w),
+                                     padding="VALID")
             identity = self.batch_normalization(identity, train)
+        else:
+            assert not in_hwcn, "hwcn identity requires the NIN branch"
         return identity + residual  # native dtype promotion (bf16 path)
 
     # --------------------------------------------------------- fused ----
@@ -267,6 +313,41 @@ class BasicBackbone(nn.Module):
         materializing an activation at a fused-chain boundary."""
         return x.astype(self.dtype) * inv.astype(self.dtype) \
             + shift.astype(self.dtype)
+
+    # ------------------------------------------------ fused stem -------
+    def stem_fused_ok(self, x, train: bool) -> bool:
+        """Gate for the fused stem (conv -> BN+maxpool+relu superkernel,
+        ops/stem_pool.py): train-mode, TPU-like backend, bf16, and the
+        post-conv shape supported by the kernel."""
+        from ..ops.stem_pool import supported
+        if self.stem_backend == "xla" or not train:
+            return False
+        h, w = x.shape[1], x.shape[2]
+        shape = (h // 2, w // 2, 64, x.shape[0])
+        if self.stem_backend == "fused":
+            return supported(shape)
+        return (jax.default_backend() != "cpu"
+                and jnp.dtype(self.dtype) == jnp.bfloat16
+                and x.shape[0] >= 32 and supported(shape))
+
+    def stem_conv_bn_pool_relu(self, x, filters, train: bool):
+        """The reference stem chain (conv_bn -> max_pool -> relu,
+        resnet18.py:53-58) as: XLA conv emitting the [H,W,C,N] view +
+        jnp statistics + the fused BN-apply+pool+relu Pallas kernel.
+        Returns the pooled feature in HWCN view."""
+        from ..ops.stem_pool import bn_pool_relu
+        y = HwcnConv(features=filters, kernel_size=(3, 3), strides=(2, 2),
+                     out_hwcn=True, dtype=self.dtype,
+                     param_dtype=self.param_dtype)(x)  # [H,W,C,N]
+        y32 = y.astype(jnp.float32)
+        s = jnp.sum(y32, axis=(0, 1, 3))
+        q = jnp.sum(jnp.square(y32), axis=(0, 1, 3))
+        count = float(np.prod([y.shape[0], y.shape[1], y.shape[3]]))
+        inv, shift = FusedBatchNorm(
+            use_running_average=False, momentum=BN_MOMENTUM,
+            epsilon=BN_EPSILON, dtype=self.dtype,
+            param_dtype=self.param_dtype)(stats=(s, q, count))
+        return bn_pool_relu(y, inv, shift)
 
     def conv_bn_relu(self, x, filters, train: bool = True):
         """conv_bn -> relu, on the fused Winograd path when eligible

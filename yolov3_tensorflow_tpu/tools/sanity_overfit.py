@@ -27,6 +27,8 @@ def main(argv=None):
     p.add_argument("--label_path", default="dataset/test_sample/label.txt")
     p.add_argument("--image_dir", default="dataset/test_sample/images")
     p.add_argument("--confidence_thresh", type=float, default=0.4)
+    p.add_argument("--save_path", default="",
+                   help="write detection visualizations here")
     a = p.parse_args(argv)
 
     import run as cli
@@ -39,7 +41,7 @@ def main(argv=None):
         train_label_path=a.label_path, train_set_dir=a.image_dir,
         test_label_path=a.label_path, test_set_dir=a.image_dir,
         batch_size=a.batch_size, class_num=a.class_num, epoch=a.epochs,
-        confidence_thresh=a.confidence_thresh, save_path="",
+        confidence_thresh=a.confidence_thresh, save_path=a.save_path,
     )
     ckpt = tempfile.mkdtemp()
     trainer = YOLOv3Trainer(cfg, restore=False, checkpoint_dir=ckpt)
