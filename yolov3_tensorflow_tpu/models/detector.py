@@ -5,10 +5,13 @@ Reference: yolov3/yolov3_detector.py:15-151.
 Heads (exact op-for-op semantics):
   * /32 head: conv_bn(512) -> relu -> 1x1 conv(head_channels)
     (yolov3_detector.py:88-101)
-  * /16 head: 1x1 conv_bn(256) on the /32 FEATURE (pre-head) -> 2x nearest
-    upsample -> concat(s16) -> 1x1 conv_bn(256) -> 3x3 conv_bn(512) ->
-    1x1 head conv (yolov3_detector.py:103-126)
-  * /8 head: analogous with 128/256 channels (yolov3_detector.py:128-151)
+  * /16 head: 3x3 conv_bn(256) on the /32 FEATURE (pre-head; the
+    reference calls conv_bn with its 3x3 default, yolov3_detector.py:113
+    + basic_backbone.py conv default) -> 2x nearest upsample ->
+    concat(s16) -> 1x1 conv_bn(256) -> 3x3 conv_bn(512) -> 1x1 head conv
+    (yolov3_detector.py:103-126)
+  * /8 head: analogous with 128/256 channels but the branch conv IS 1x1
+    there (yolov3_detector.py:138) (yolov3_detector.py:128-151)
   * head output convs: RandomNormal(0.01) init, WITH bias, NO L2
     (yolov3_detector.py:98-100) — named with the `head_out` marker so
     l2_regularization skips them.

@@ -283,8 +283,18 @@ def _kernel(*refs, H, W, C, Co, N, WB, act, stats, gmask):
         row1_ok = (2 * tr_off + 1) < H
 
         def masked_rowsum(f):
-            s0 = jnp.sum(f(0), axis=0)
-            s1 = jnp.sum(f(1), axis=0)
+            """Sum a [WB, Co, N] row image over columns, excluding
+            phantom output columns past W on a ragged final chunk (the
+            conv of the zero-padded edge is nonzero there, and in gmask
+            mode c_ref's out-of-bounds block region is undefined —
+            jnp.where SELECTS, so garbage/NaN never reaches the sum)
+            and phantom output rows past H."""
+            def one(i):
+                t = f(i)
+                if colmask is not None:
+                    t = jnp.where(colmask[0], t, jnp.zeros_like(t))
+                return jnp.sum(t, axis=0)
+            s0, s1 = one(0), one(1)
             z = jnp.zeros_like(s0)
             return (jnp.where(row0_ok, s0, z)
                     + jnp.where(row1_ok, s1, z))
@@ -293,6 +303,9 @@ def _kernel(*refs, H, W, C, Co, N, WB, act, stats, gmask):
             minv = scal_ref[0].reshape(1, 1, Co, 1)
             mshift = scal_ref[1].reshape(1, 1, Co, 1)
             cvals = c_ref[2 * k:2 * k + 2]  # fwd x rows, bf16
+            if colmask is not None:
+                # ragged chunk: the block region past W is undefined
+                cvals = jnp.where(colmask, cvals, jnp.zeros_like(cvals))
             bn_c = (cvals * minv.astype(jnp.bfloat16)
                     + mshift.astype(jnp.bfloat16))
             # compare in f32 (exact; target VPU lacks bf16 predicates)
