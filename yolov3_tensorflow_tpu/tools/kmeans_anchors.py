@@ -94,7 +94,7 @@ def main(argv=None):
     p.add_argument("--plot", default=None,
                    help="optional path for scatter/Pareto plot png")
     args = p.parse_args(argv)
-    boxes, _ = parse_boxes(args.label_file)
+    boxes, classes = parse_boxes(args.label_file)
     centers, assign = cluster_anchors(boxes, args.k, args.iters)
     print("anchor centers [W, H] (paste into Config.anchor_boxes):")
     for c in centers:
@@ -106,13 +106,26 @@ def main(argv=None):
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
-        fig, (a1, a2) = plt.subplots(1, 2, figsize=(10, 4))
+        # per-class cluster scatters (reference kmeans_anchors.py:65-70
+        # plots one figure per class) as subplot panels after the global
+        # scatter + Pareto pair
+        cls_ids = np.unique(classes).astype(int) if len(classes) else []
+        ncols = 2 + len(cls_ids)
+        fig, axes = plt.subplots(1, ncols, figsize=(5 * ncols, 4))
+        a1, a2 = axes[0], axes[1]
         a1.scatter(boxes[:, 0], boxes[:, 1], c=assign, s=8)
         a1.scatter(centers[:, 0], centers[:, 1], c="red", marker="x")
-        a1.set_title("wh clusters")
+        a1.set_title(f"wh clusters ({len(boxes)})")
         pts = pareto_curve(boxes, centers)
         a2.plot([t for t, _ in pts], [r for _, r in pts], marker="o")
         a2.set_title("coverage vs IOU threshold")
+        for ax, cid in zip(axes[2:], cls_ids):
+            pos = classes.astype(int) == cid
+            ax.scatter(boxes[pos, 0], boxes[pos, 1], c=assign[pos], s=8,
+                       vmin=0, vmax=len(centers) - 1)
+            ax.scatter(centers[:, 0], centers[:, 1], c="red", marker="x")
+            ax.set_title(f"class {cid} ({int(pos.sum())})")
+        fig.tight_layout()
         fig.savefig(args.plot, dpi=120)
         print("plot saved to", args.plot)
 
