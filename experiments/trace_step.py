@@ -21,10 +21,12 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    backend = sys.argv[4] if len(sys.argv) > 4 else "xla"
     cfg = Config(input_image_size=(416, 416, 3), batch_size=batch,
                  max_boxes=32, model_backbone="resnet-18",
                  optimizer="radam", is_augment=True,
-                 rectified_coord_num=-1, num_devices=1)
+                 rectified_coord_num=-1, num_devices=1,
+                 conv_backend=backend)
     trainer = YOLOv3Trainer(cfg, restore=False,
                             checkpoint_dir=tempfile.mkdtemp())
     rng = np.random.RandomState(0)

@@ -297,3 +297,90 @@ def test_model_backend_parity(tiny_cfg):
         scale = float(jnp.max(jnp.abs(a))) + 1e-6
         np.testing.assert_allclose(np.asarray(b) / scale,
                                    np.asarray(a) / scale, atol=0.05)
+
+
+@pytest.mark.parametrize("shape", TRAIN_SHAPES)
+def test_bn_add_act_stats_gradients(shape):
+    """hconv_bn_add_act_stats (the residual-boundary 2-input prologue):
+    y, a, stats and all five gradients vs the lax composition,
+    including a nonzero cotangent on the materialized boundary
+    activation `a` (the identity-chain path)."""
+    from yolov3_tensorflow_tpu.ops.winograd import hconv_bn_add_act_stats
+    N, H, W, C, Co = shape
+    keys = jax.random.split(jax.random.PRNGKey(7), 9)
+    x = jax.random.normal(keys[0], (N, H, W, C), jnp.float32)
+    ident = jax.random.normal(keys[1], (N, H, W, C), jnp.float32)
+    w = jax.random.normal(keys[2], (3, 3, C, Co), jnp.float32) * 0.2
+    inv = jax.random.normal(keys[3], (C,), jnp.float32) * 0.5 + 1.0
+    shift = jax.random.normal(keys[4], (C,), jnp.float32) * 0.2
+    gy = jax.random.normal(keys[5], (N, H, W, Co), jnp.float32)
+    ga = jax.random.normal(keys[6], (N, H, W, C), jnp.float32)
+    gs = jax.random.normal(keys[7], (Co,), jnp.float32)
+    gq = jax.random.normal(keys[8], (Co,), jnp.float32) * 0.1
+
+    def hw(t):
+        return jnp.transpose(t.astype(jnp.bfloat16), (1, 2, 3, 0))
+
+    def scalarize(y, a, s, q):
+        return (jnp.sum(y.astype(jnp.float32) * hw(gy).astype(jnp.float32))
+                + jnp.sum(a.astype(jnp.float32)
+                          * hw(ga).astype(jnp.float32))
+                + jnp.sum(s * gs) + jnp.sum(q * gq))
+
+    def ref_op(x, ident, w, inv, shift):
+        # association order matches the kernel: (x*inv + shift) + id
+        a = jnp.maximum(x.astype(jnp.bfloat16) * inv.astype(jnp.bfloat16)
+                        + shift.astype(jnp.bfloat16)
+                        + ident.astype(jnp.bfloat16), jnp.bfloat16(0))
+        y, s, q = _stats_ref(a, w)
+        return y, a, s, q
+
+    def loss_ref(x, ident, w, inv, shift):
+        y, a, s, q = ref_op(x, ident, w, inv, shift)
+        return scalarize(hw(y), hw(a), s, q)
+
+    def loss_win(x, ident, w, inv, shift):
+        y, a, s, q = hconv_bn_add_act_stats(
+            hw(x), hw(ident), w.astype(jnp.bfloat16), inv, shift)
+        return scalarize(y, a, s, q)
+
+    refs = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+        x, ident, w, inv, shift)
+    gots = jax.grad(loss_win, argnums=(0, 1, 2, 3, 4))(
+        x, ident, w, inv, shift)
+    tie = np.asarray(x.astype(jnp.bfloat16) * inv.astype(jnp.bfloat16)
+                     + shift.astype(jnp.bfloat16)
+                     + ident.astype(jnp.bfloat16)) == 0
+    names = ("dx", "dident", "dw", "dinv", "dshift")
+    for name, got, ref in zip(names, gots, refs):
+        assert np.all(np.isfinite(np.asarray(got))), name
+        if name in ("dx", "dident"):
+            got = jnp.where(tie, 0.0, got)
+            ref = jnp.where(tie, 0.0, ref)
+        _rel_close(got, ref, 0.06)
+
+
+@pytest.mark.parametrize("shape", TRAIN_SHAPES[:1])
+def test_bn_add_act_values(shape):
+    from yolov3_tensorflow_tpu.ops.winograd import hconv_bn_add_act_stats
+    N, H, W, C, Co = shape
+    keys = jax.random.split(jax.random.PRNGKey(8), 5)
+    x = jax.random.normal(keys[0], (N, H, W, C), jnp.float32)
+    ident = jax.random.normal(keys[1], (N, H, W, C), jnp.float32)
+    w = jax.random.normal(keys[2], (3, 3, C, Co), jnp.float32) * 0.2
+    inv = jax.random.normal(keys[3], (C,), jnp.float32) * 0.5 + 1.0
+    shift = jax.random.normal(keys[4], (C,), jnp.float32) * 0.2
+
+    def hw(t):
+        return jnp.transpose(t.astype(jnp.bfloat16), (1, 2, 3, 0))
+
+    a_ref = jnp.maximum(x.astype(jnp.bfloat16) * inv.astype(jnp.bfloat16)
+                        + shift.astype(jnp.bfloat16)
+                        + ident.astype(jnp.bfloat16), jnp.bfloat16(0))
+    y_ref, s_ref, q_ref = _stats_ref(a_ref, w)
+    y, a, s, q = hconv_bn_add_act_stats(hw(x), hw(ident),
+                                        w.astype(jnp.bfloat16), inv, shift)
+    _rel_close(a, hw(a_ref), 0.02)
+    _rel_close(y, hw(y_ref), 0.03)
+    _rel_close(s, s_ref, 0.03)
+    _rel_close(q, q_ref, 0.03)
