@@ -54,6 +54,7 @@ class FusedBatchNorm(nn.Module):
     epsilon: float = 1e-5
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    channel_axis: int = -1  # -1 for NHWC, 2 for the [H,W,C,N] stem view
     @nn.compact
     def __call__(self, x=None, stats=None):
         """Classic mode (``x``): normalize the tensor.  Stats mode
@@ -61,7 +62,8 @@ class FusedBatchNorm(nn.Module):
         statistics were already accumulated in a conv epilogue — update
         the running averages and return the fp32 ``(inv, shift)`` apply
         scalars; the apply itself rides the consumer's input read."""
-        features = x.shape[-1] if x is not None else stats[0].shape[-1]
+        ax = self.channel_axis
+        features = x.shape[ax] if x is not None else stats[0].shape[-1]
         scale = self.param("scale", nn.initializers.ones, (features,),
                            self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (features,),
@@ -80,7 +82,8 @@ class FusedBatchNorm(nn.Module):
                 mean2 = q / count
             else:
                 x32 = x.astype(jnp.float32)
-                axes = tuple(range(x32.ndim - 1))
+                axes = tuple(a for a in range(x32.ndim)
+                             if a != ax % x32.ndim)
                 mean = jnp.mean(x32, axis=axes)
                 mean2 = jnp.mean(jnp.square(x32), axis=axes)
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
@@ -94,20 +97,26 @@ class FusedBatchNorm(nn.Module):
         shift = bias.astype(jnp.float32) - mean * inv
         if stats is not None:
             return inv, shift
-        y = x.astype(self.dtype) * inv.astype(self.dtype) \
-            + shift.astype(self.dtype)
+        bshape = [1] * x.ndim
+        bshape[ax % x.ndim] = features
+        y = x.astype(self.dtype) \
+            * inv.reshape(bshape).astype(self.dtype) \
+            + shift.reshape(bshape).astype(self.dtype)
         return y
 
 
 class WinogradConv3x3(nn.Module):
     """3x3/s1/SAME conv on the fused Winograd Pallas kernel
-    (ops/winograd.py).  Param subtree ({kernel}) and the auto-name
-    "Conv_N" match nn.Conv exactly (shared flax name counter), so
-    checkpoints and the parity weight mapping are backend-independent.
+    (ops/winograd.py), operating on the [H, W, C, N] view.  Param
+    subtree ({kernel}) and the auto-name "Conv_N" match nn.Conv exactly
+    (shared flax name counter), so checkpoints and the parity weight
+    mapping are backend-independent.
 
     Called with ``prologue=(inv, shift)`` the previous BatchNorm's
-    apply + relu ride the conv's input read; the return value is always
-    ``(y_raw, (sum, sumsq))`` with this conv's output statistics
+    apply + relu ride the conv's input read; with ``ident`` as well,
+    the previous RESIDUAL BOUNDARY (add + relu) rides the read and the
+    boundary activation is returned as a second output.  The return
+    always ends with ``(sum, sumsq)`` — this conv's output statistics,
     accumulated in the kernel epilogue for the NEXT BatchNorm."""
 
     features: int
@@ -116,17 +125,22 @@ class WinogradConv3x3(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, prologue=None):
-        from ..ops.winograd import conv3x3_bn_act_stats, conv3x3_stats
+    def __call__(self, x, prologue=None, ident=None):
+        from ..ops.winograd import (hconv_bn_act_stats,
+                                    hconv_bn_add_act_stats, hconv_stats)
         kernel = self.param(
             "kernel", self.kernel_init,
-            (3, 3, x.shape[-1], self.features), self.param_dtype)
+            (3, 3, x.shape[2], self.features), self.param_dtype)
         k = kernel.astype(self.dtype)
         x = x.astype(self.dtype)
+        if ident is not None:
+            y, a, s, q = hconv_bn_add_act_stats(
+                x, ident.astype(self.dtype), k, *prologue)
+            return y, a, (s, q)
         if prologue is not None:
-            y, s, q = conv3x3_bn_act_stats(x, k, *prologue)
+            y, s, q = hconv_bn_act_stats(x, k, *prologue)
         else:
-            y, s, q = conv3x3_stats(x, k)
+            y, s, q = hconv_stats(x, k)
         return y, (s, q)
 
 
@@ -179,7 +193,8 @@ class BasicBackbone(nn.Module):
         from ..ops.winograd import eligible
         if self.conv_backend == "xla":
             return False
-        if not eligible(x.shape, filters, kernel_size, strides, padding,
+        shape = x if isinstance(x, tuple) else x.shape  # NHWC order
+        if not eligible(shape, filters, kernel_size, strides, padding,
                         feature_group_count):
             return False
         if self.conv_backend == "winograd":
@@ -217,19 +232,21 @@ class BasicBackbone(nn.Module):
         return self.conv(x, channels, kernel_size=kernel_size, strides=strides,
                          feature_group_count=channels)
 
-    def batch_normalization(self, x, train: bool):
+    def batch_normalization(self, x, train: bool, channel_axis: int = -1):
         """BN with momentum .9 / eps 1e-5 (basic_backbone.py:68-78).
 
         TPU note: statistics accumulate in fp32 (cast fused into the
         reduction) but the normalized tensor I/O stays in the compute dtype,
         so the conv->bn->relu chain never materializes fp32 activations in
-        HBM — the training step is bandwidth-bound otherwise."""
+        HBM — the training step is bandwidth-bound otherwise.
+        ``channel_axis=2`` normalizes the [H,W,C,N] view in place."""
         return FusedBatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPSILON,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            channel_axis=channel_axis,
         )(x)
 
     @staticmethod
@@ -277,28 +294,38 @@ class BasicBackbone(nn.Module):
 
     # ------------------------------------------- winograd fused chain --
     def fused_ok(self, x, filters, train: bool) -> bool:
-        """Can a conv_bn->relu link run on the fused Winograd path?"""
+        """Can a conv_bn->relu link run on the fused Winograd path?
+        ``x`` in NHWC."""
         return bool(train) and self._use_winograd(
             x, filters, (3, 3), (1, 1), "SAME", 1)
 
-    def fused_conv_stats(self, x, filters, prologue=None):
-        """Winograd conv returning (y_raw, (sum, sumsq)); with
-        ``prologue=(inv, shift)`` the previous BN apply+relu is fused
-        into the input read (see WinogradConv3x3)."""
+    def chain_ok(self, shape_hwcn, filters, train: bool) -> bool:
+        """Can a residual block at this [H,W,C,N] shape run on the fused
+        Winograd chain?"""
+        h, w, c, n = shape_hwcn
+        return bool(train) and self._use_winograd(
+            (n, h, w, c), filters, (3, 3), (1, 1), "SAME", 1)
+
+    def fused_conv_stats(self, x, filters, prologue=None, ident=None):
+        """Winograd conv on the [H,W,C,N] view returning
+        (y_raw, [a,] (sum, sumsq)); with ``prologue=(inv, shift)`` the
+        previous BN apply+relu is fused into the input read; with
+        ``ident`` too, the previous residual boundary is fused and its
+        activation ``a`` returned (see WinogradConv3x3)."""
         return WinogradConv3x3(
             features=filters,
             kernel_init=nn.initializers.he_normal(),
             dtype=self.dtype,
             param_dtype=self.param_dtype,
-        )(x, prologue=prologue)
+        )(x, prologue=prologue, ident=ident)
 
-    def bn_scalars(self, y_shape, stats, train: bool):
+    def bn_scalars(self, count, stats, train: bool):
         """BatchNorm in stats mode: consumes epilogue-accumulated
         (sum, sumsq) of the conv output and returns (inv, shift); the
         module is the SAME FusedBatchNorm_k (params/averages) the classic
-        path would create."""
+        path would create.  ``count`` = reduced element count per
+        channel (H*W*N on the [H,W,C,N] view)."""
         assert train, "fused path is train-only"
-        count = float(np.prod([y_shape[0], y_shape[1], y_shape[2]]))
         s, q = stats
         return FusedBatchNorm(
             use_running_average=False,
@@ -306,13 +333,19 @@ class BasicBackbone(nn.Module):
             epsilon=BN_EPSILON,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
-        )(stats=(s, q, count))
+        )(stats=(s, q, float(count)))
 
-    def bn_apply(self, x, inv, shift):
+    def hwcn_count(self, y_shape):
+        return float(np.prod([y_shape[0], y_shape[1], y_shape[3]]))
+
+    def bn_apply(self, x, inv, shift, channel_axis: int = -1):
         """The classic BN apply arithmetic (compute-dtype mul+add), for
         materializing an activation at a fused-chain boundary."""
-        return x.astype(self.dtype) * inv.astype(self.dtype) \
-            + shift.astype(self.dtype)
+        bshape = [1] * x.ndim
+        bshape[channel_axis % x.ndim] = x.shape[channel_axis]
+        return x.astype(self.dtype) \
+            * inv.reshape(bshape).astype(self.dtype) \
+            + shift.reshape(bshape).astype(self.dtype)
 
     # ------------------------------------------------ fused stem -------
     def stem_fused_ok(self, x, train: bool) -> bool:
@@ -350,13 +383,18 @@ class BasicBackbone(nn.Module):
         return bn_pool_relu(y, inv, shift)
 
     def conv_bn_relu(self, x, filters, train: bool = True):
-        """conv_bn -> relu, on the fused Winograd path when eligible
-        (conv with stats epilogue + one materializing apply pass),
-        otherwise the classic composition."""
+        """conv_bn -> relu (NHWC), on the fused Winograd path when
+        eligible (conv with stats epilogue + one materializing apply
+        pass, via the [H,W,C,N] kernel view), otherwise the classic
+        composition."""
         if self.fused_ok(x, filters, train):
-            y, st = self.fused_conv_stats(x, filters)
-            inv, shift = self.bn_scalars(y.shape, st, train)
-            return self.activation(self.bn_apply(y, inv, shift))
+            xt = jnp.transpose(x.astype(self.dtype), (1, 2, 3, 0))
+            y, st = self.fused_conv_stats(xt, filters)
+            inv, shift = self.bn_scalars(self.hwcn_count(y.shape),
+                                         st, train)
+            a = self.activation(self.bn_apply(y, inv, shift,
+                                              channel_axis=2))
+            return jnp.transpose(a, (3, 0, 1, 2))
         return self.activation(self.conv_bn(x, filters, train=train))
 
     def depthwise_conv_bn(self, x, train: bool = True, **conv_params):

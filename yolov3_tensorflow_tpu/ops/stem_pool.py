@@ -248,6 +248,22 @@ def _bwd_kernel(ym_ref, yt_ref, yb_ref, lm_ref, lt_ref, lb_ref,
 
 
 def _fwd(y, inv, shift, interpret=None):
+    """Fused BN-apply+maxpool+relu forward; under a registered op mesh
+    (ops/partition.py) the pallas_call runs inside shard_map over the
+    data axis (batch N is the last dim of the [H,W,C,N] view)."""
+    from .partition import get_op_mesh, lane_sharded_call
+    if get_op_mesh() is not None:
+        scal_packed = jnp.stack([inv, shift]).astype(jnp.float32)
+        def invoke(ly, lscal):
+            return _fwd_local(ly, lscal[0], lscal[1],
+                              interpret=interpret)
+        return lane_sharded_call(lambda ly, ls: (invoke(ly, ls),),
+                                 [y, scal_packed], [True, False],
+                                 [4])[0]
+    return _fwd_local(y, inv, shift, interpret=interpret)
+
+
+def _fwd_local(y, inv, shift, interpret=None):
     H, W, C, N = y.shape
     wb = _pick_wb(W, C, N)
     nw = W // wb
@@ -292,6 +308,18 @@ def _fwd(y, inv, shift, interpret=None):
 
 
 def _bwd(y, dp, p, inv, shift, interpret=None):
+    from .partition import get_op_mesh, lane_sharded_call
+    if get_op_mesh() is not None:
+        scal_packed = jnp.stack([inv, shift]).astype(jnp.float32)
+        def invoke(ly, ldp, lp, lscal):
+            return _bwd_local(ly, ldp, lp, lscal[0], lscal[1],
+                              interpret=interpret)
+        return lane_sharded_call(invoke, [y, dp, p, scal_packed],
+                                 [True, True, True, False], [4, 3])
+    return _bwd_local(y, dp, p, inv, shift, interpret=interpret)
+
+
+def _bwd_local(y, dp, p, inv, shift, interpret=None):
     H, W, C, N = y.shape
     wb = _pick_wb(W, C, N, budget=12e6)
     nw = W // wb

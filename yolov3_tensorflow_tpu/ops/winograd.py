@@ -421,14 +421,53 @@ def _kernel(*refs, H, W, C, Co, N, WB, pro, epi, aux):
 def winograd_call(xt, u, partner=None, cvals=None, avals=None,
                   dvals=None, scal=None, scal2=None,
                   pro=PRO_NONE, epi=EPI_NONE, aux=False,
-                  interpret=None):
+                  interpret=None, _local=False):
     """Invoke the kernel on the [H,W,C,N] view.
 
     xt: main input [H,W,C,N]; partner: second full-halo stream (id for
     PRO_BN_ADD, y for PRO_DYEFF); cvals/avals/dvals: main-row epilogue
     streams [H,W,Co,N]; scal: [2, Cx] (inv, shift); scal2: [2, C]
     (ds, dq).  Returns (out, [out2], [aux], [out3]) — a tuple in that
-    order containing only the requested outputs."""
+    order containing only the requested outputs.
+
+    Under a registered op mesh (ops/partition.py) the call runs inside
+    shard_map over the data axis: every activation/gradient stream and
+    every output shards its last (N/lane) dim; weights and BN scalars
+    replicate.  This function is then invoked with LOCAL shapes."""
+    from .partition import get_op_mesh, lane_sharded_call
+    ms = None if _local else get_op_mesh()
+    if ms is not None:
+        flat = [t for t in (xt, partner, cvals, avals, dvals, u, scal,
+                            scal2) if t is not None]
+        shardable = ([True]
+                     + [True] * sum(t is not None
+                                    for t in (partner, cvals, avals,
+                                              dvals))
+                     + [False]
+                     + [False] * sum(t is not None for t in (scal, scal2)))
+        n_out = (1 + (1 if epi != EPI_NONE else 0) + (1 if aux else 0)
+                 + (1 if epi == EPI_BN_ADD else 0))
+        out_ranks = [4, 3, 4, 4][:1] + ([3] if epi != EPI_NONE else []) \
+            + ([4] if aux else []) + ([4] if epi == EPI_BN_ADD else [])
+        del n_out
+
+        def invoke(*local):
+            it = iter(local)
+            lxt = next(it)
+            lpartner = next(it) if partner is not None else None
+            lcvals = next(it) if cvals is not None else None
+            lavals = next(it) if avals is not None else None
+            ldvals = next(it) if dvals is not None else None
+            lu = next(it)
+            lscal = next(it) if scal is not None else None
+            lscal2 = next(it) if scal2 is not None else None
+            return winograd_call(lxt, lu, partner=lpartner,
+                                 cvals=lcvals, avals=lavals,
+                                 dvals=ldvals, scal=lscal, scal2=lscal2,
+                                 pro=pro, epi=epi, aux=aux,
+                                 interpret=interpret, _local=True)
+
+        return lane_sharded_call(invoke, flat, shardable, out_ranks)
     H, W, C, N = xt.shape
     Co = u.shape[-1]
     n_full = 1 + (1 if partner is not None else 0)

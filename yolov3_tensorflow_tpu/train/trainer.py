@@ -52,6 +52,12 @@ class YOLOv3Trainer:
         self.tx, self.schedule = make_optimizer(cfg)
         self._schedule_spe = cfg.steps_per_epoch
         self.mesh = mesh if mesh is not None else mesh_from_config(cfg)
+        # register the mesh with the custom Pallas ops so their
+        # pallas_calls partition over the data axis (shard_map) instead
+        # of replicating — the reference's DP covers its whole model
+        # (yolov3/trainer.py:40-43); ours must cover the kernels too
+        from ..ops.partition import set_op_mesh
+        set_op_mesh(self.mesh, cfg.data_axis)
 
         h, w, c = cfg.input_image_size
         init_rng = jax.random.PRNGKey(seed)
@@ -199,16 +205,32 @@ class YOLOv3Trainer:
 
         data_shard = batch_sharding(self.mesh, self.cfg.data_axis)
         repl = replicated(self.mesh)
+
+        def with_op_mesh(fn):
+            """Re-register this trainer's mesh with the Pallas ops right
+            before each call: registration is read at TRACE time, and a
+            process can hold trainers with different meshes (tests)."""
+            from ..ops.partition import set_op_mesh
+
+            def wrapped(*a):
+                set_op_mesh(self.mesh, self.cfg.data_axis)
+                return fn(*a)
+            wrapped.lower = fn.lower  # keep jit's AOT surface (_model_structure)
+            return wrapped
+
         return (
-            jax.jit(train_step,
-                    in_shardings=(repl, data_shard, data_shard),
-                    out_shardings=(repl, repl),
-                    donate_argnums=(0,)),
-            jax.jit(eval_step,
-                    in_shardings=(repl, data_shard, data_shard),
-                    out_shardings=repl),
-            jax.jit(forward, in_shardings=(repl, data_shard),
-                    out_shardings=repl),
+            with_op_mesh(jax.jit(
+                train_step,
+                in_shardings=(repl, data_shard, data_shard),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,))),
+            with_op_mesh(jax.jit(
+                eval_step,
+                in_shardings=(repl, data_shard, data_shard),
+                out_shardings=repl)),
+            with_op_mesh(jax.jit(
+                forward, in_shardings=(repl, data_shard),
+                out_shardings=repl)),
         )
 
     def _model_structure(self):
