@@ -222,7 +222,10 @@ def test_model_backend_parity_train(tiny_cfg):
     RMS(win - f32) <= 2.5 * RMS(xla - f32) + eps."""
     from yolov3_tensorflow_tpu.models.detector import build_detector
     cfg_x = tiny_cfg.replace(conv_backend="xla")
-    cfg_w = tiny_cfg.replace(conv_backend="winograd")
+    # min_channels=0 engages the FULL chain incl. module 1 (the
+    # production floor excludes 64ch blocks on perf grounds only)
+    cfg_w = tiny_cfg.replace(conv_backend="winograd",
+                             winograd_min_channels=0)
     cfg_f = tiny_cfg.replace(conv_backend="xla", compute_dtype="float32")
     mx, mw = build_detector(cfg_x), build_detector(cfg_w)
     mf = build_detector(cfg_f)

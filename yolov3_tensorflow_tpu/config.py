@@ -166,6 +166,12 @@ class Config:
     # round-2 notes), so direct convolution stays the default; "auto"
     # currently resolves to the same choice.
     conv_backend: str = "xla"
+    # Winograd chain channel floor: fused winograd blocks engage only
+    # where BOTH conv channel counts are >= this.  At 64 channels the
+    # F(2,3) MAC cut is exactly cancelled by halved MXU utilization
+    # (the contraction fills half the systolic array rows), so module 1
+    # stays on direct convolution (r3 per-shape measurements, PERF.md).
+    winograd_min_channels: int = 128
     # stem algorithm: "auto" (default) fuses the stem's BN-apply +
     # 3x3/s2 max-pool + relu into one Pallas kernel with a tie-splitting
     # scatter backward (replaces XLA's select-and-scatter) on TPU train

@@ -77,7 +77,9 @@ class YOLOv3Detector(BasicBackbone):
         backbone = BACKBONE_TYPE[self.backbone_name](
             dtype=self.dtype, param_dtype=self.param_dtype,
             conv_backend=self.conv_backend,
-            stem_backend=self.stem_backend, name="backbone")
+            stem_backend=self.stem_backend,
+            winograd_min_channels=self.winograd_min_channels,
+            name="backbone")
         s8, s16, s32 = backbone(images, train=train)
         c8, c16, c32 = self.head_channel_nums
 
@@ -118,6 +120,7 @@ def build_detector(cfg: Config) -> YOLOv3Detector:
         dtype=jnp.dtype(cfg.compute_dtype),
         conv_backend=cfg.conv_backend,
         stem_backend=cfg.stem_backend,
+        winograd_min_channels=cfg.winograd_min_channels,
     )
 
 

@@ -187,6 +187,8 @@ class BasicBackbone(nn.Module):
     param_dtype: Any = jnp.float32
     conv_backend: str = "auto"  # auto | winograd | xla
     stem_backend: str = "auto"  # auto | fused | xla
+    # channel floor for the fused winograd chain (see Config)
+    winograd_min_channels: int = 128
 
     def _use_winograd(self, x, filters, kernel_size, strides, padding,
                       feature_group_count) -> bool:
@@ -194,6 +196,12 @@ class BasicBackbone(nn.Module):
         if self.conv_backend == "xla":
             return False
         shape = x if isinstance(x, tuple) else x.shape  # NHWC order
+        min_c = self.winograd_min_channels
+        if min_c and (shape[3] < min_c or filters < min_c):
+            # at 64 channels the F(2,3) MAC cut is exactly cancelled by
+            # halved MXU utilization (contraction fills half the
+            # systolic rows) — measured per-shape, PERF.md round 3
+            return False
         if not eligible(shape, filters, kernel_size, strides, padding,
                         feature_group_count):
             return False
@@ -201,7 +209,8 @@ class BasicBackbone(nn.Module):
             return True
         # "auto" currently resolves to direct convolution: on this
         # backend XLA's conv<->BN fusion clusters outrun the fused
-        # Winograd path end-to-end (PERF.md round-2 measurements)
+        # Winograd chain end-to-end at every measured granularity
+        # (PERF.md round-2/3 measurement series)
         return False
 
     # ------------------------------------------------------------- ops --

@@ -148,10 +148,15 @@ class ResNet18(BasicBackbone):
     def __call__(self, x, train: bool = True):
         """(resnet18.py:53-69) -> (s8, s16, s32) NHWC features."""
         stem_fused = self.stem_fused_ok(x, train)
-        # the chain needs the module-1 block shape to be kernel-eligible
         n, h, w, _ = x.shape
-        chain = (self.conv_backend != "xla" and train
-                 and self.chain_ok((h // 4, w // 4, 64, n), 64, train))
+        # per-shape chain engagement (the floor excludes module 1 by
+        # default — at 64ch the winograd MAC cut cancels against MXU
+        # underutilization, PERF.md round-3 per-shape table)
+        chain_m1 = (self.conv_backend != "xla" and train
+                    and self.chain_ok((h // 4, w // 4, 64, n), 64, train))
+        chain_deep = (self.conv_backend != "xla" and train
+                      and self.chain_ok((h // 8, w // 8, 128, n), 128,
+                                        train))
         if stem_fused:
             # conv -> BN+maxpool+relu superkernel (ops/stem_pool.py);
             # the pooled feature stays in the [H,W,C,N] view
@@ -160,12 +165,21 @@ class ResNet18(BasicBackbone):
             net = self.conv_bn(x, 64, train=train, strides=(2, 2))
             net = self.max_pool(net)
             net = self.activation(net)
-            if chain:
+            if chain_m1:
                 net = jnp.transpose(net.astype(self.dtype), (1, 2, 3, 0))
 
-        if chain:
-            state = ("mat", net)
-            state = self._chain_module(state, 64, train)
+        to_nhwc = lambda t: jnp.transpose(t, (3, 0, 1, 2))  # noqa: E731
+        if chain_m1 or chain_deep:
+            if chain_m1:
+                state = self._chain_module(("mat", net), 64, train)
+            else:
+                # module 1 on the classic NHWC path (XLA's fastest
+                # layout for the 64ch convs), then enter the chain
+                net = self._residual_module(net, 64, train=train,
+                                            in_hwcn=stem_fused)
+                state = ("mat",
+                         jnp.transpose(net.astype(self.dtype),
+                                       (1, 2, 3, 0)))
             state = self._chain_module(state, 128, train, strides=(2, 2))
             s8h = self._materialize(state)
             state = self._chain_module(("mat", s8h), 256, train,
@@ -174,7 +188,6 @@ class ResNet18(BasicBackbone):
             state = self._chain_module(("mat", s16h), 512, train,
                                        strides=(2, 2))
             s32h = self._materialize(state)
-            to_nhwc = lambda t: jnp.transpose(t, (3, 0, 1, 2))  # noqa: E731
             return to_nhwc(s8h), to_nhwc(s16h), to_nhwc(s32h)
 
         net = self._residual_module(net, 64, train=train,

@@ -178,7 +178,7 @@ def eligible(shape_nhwc, co, kernel_size, strides, padding,
     return fwd_ok and bwd_ok
 
 
-def _kernel(*refs, H, W, C, Co, N, WB, pro, epi, aux):
+def _kernel(*refs, H, W, C, Co, N, WB, pro, epi, aux, f32_dot=False):
     """Grid step (w, s): computes output tile-rows s*RB .. s*RB+RB-1 of
     W-chunk w.  Input rows arrive via three aligned streams — the
     previous pair (top halo), RB main pairs, and the next pair (bottom
@@ -349,6 +349,12 @@ def _kernel(*refs, H, W, C, Co, N, WB, pro, epi, aux):
                 for coef, t in terms[1:]:
                     vk = vk + t if coef > 0 else vk - t
                 uk = u_ref[ki * 4 + kj]  # [C, Co]
+                # NOTE r3: a weight-stationary single-matmul form
+                # (dot(uk, vk) -> [Co, TW, N] + one store transpose per
+                # row-pair) was tried to amortize MXU weight loads
+                # across tile-rows; Mosaic could not compile the
+                # required major<->sublane transpose (remote compiler
+                # OOM-killed).  The batched-over-TW form stays.
                 ukb = jnp.broadcast_to(uk, (TW, C, Co))
                 ms.append(jax.lax.dot_general(
                     ukb, vk,
@@ -572,7 +578,7 @@ def winograd_call(xt, u, partner=None, cvals=None, avals=None,
 
     res = pl.pallas_call(
         functools.partial(_kernel, H=H, W=W, C=C, Co=Co, N=N, WB=wb,
-                          pro=pro, epi=epi, aux=aux),
+                          pro=pro, epi=epi, aux=aux, f32_dot=interpret),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
