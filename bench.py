@@ -86,7 +86,11 @@ def main():
                             checkpoint_dir=tempfile.mkdtemp())
 
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.rand(batch, 416, 416, 3).astype(np.float32))
+    # uint8 batches: the production input format (run.py's
+    # device_prefetch ships uint8; the step normalizes on device) —
+    # 4x less HBM traffic on the normalize read than f32
+    images = jnp.asarray(rng.randint(0, 255, (batch, 416, 416, 3),
+                                     dtype=np.uint8))
     labels = -np.ones((batch, 32, 5), np.float32)
     labels[:, 0] = [0.5, 0.5, 0.3, 0.3, 0]
     labels[:, 1] = [0.25, 0.25, 0.1, 0.2, 0]

@@ -1,0 +1,151 @@
+"""mAP parity: trained flax weights scored through BOTH frameworks.
+
+BASELINE.md's north star is "mAP@0.5 within +/-0.5 of the Keras
+reference".  Round 2 grounded the logits (tests/test_parity_e2e.py) and
+the real-sample overfit (mAP 0.9721); this tool turns the north star
+into a MEASUREMENT (round-2 verdict item 4):
+
+  1. restore the committed real-sample overfit checkpoint
+     (models/resnet-18-radam-aug, 300-epoch TPU run on the reference's
+     13-class 20-image sample);
+  2. score it with OUR inference path (predict -> decode -> NMS ->
+     in-repo evaluator) — the run.py --mode test flow;
+  3. transplant the SAME weights into the layer-by-layer TF2 Keras
+     rebuild of the reference detector (tests/test_parity_e2e.py,
+     mirroring /root/reference/yolov3/yolov3_detector.py:44-151), run
+     reference-side inference (mirroring /root/reference/run.py:41-80:
+     model predict -> decoder -> post-process), and score ITS
+     detections with the SAME evaluator;
+  4. report both numbers side by side and the |delta| <= 0.5 gate.
+
+Run (CPU, ~2 min):  python -m yolov3_tensorflow_tpu.tools.map_parity
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+SAMPLE = "/root/reference/dataset/test_sample"
+
+
+def _score(cfg, forward, ds):
+    """run.py --mode test's loop with a pluggable forward(images)->heads
+    (so the flax model and the Keras rebuild flow through the IDENTICAL
+    decode + NMS + evaluation path)."""
+    from ..infer.evaluator import (detections_to_eval_format,
+                                   evaluate_map, labels_to_eval_format)
+    from ..infer.postprocess import YOLOv3PostProcessor, resize_boxes
+
+    post = YOLOv3PostProcessor(cfg)
+    input_box_size = np.array([cfg.input_image_size[1],
+                               cfg.input_image_size[0]] * 2, np.float64)
+    all_dets, all_gts = [], []
+    seen = set()
+    for batch in ds.batches(repeat=False):
+        heads = forward(batch)
+        per_image = post.process(heads)
+        for labels, path, head_boxes in zip(batch.labels, batch.paths,
+                                            per_image):
+            if path in seen:
+                continue
+            seen.add(path)
+            in_boxes = resize_boxes(head_boxes, input_box_size)
+            all_dets.append(detections_to_eval_format(in_boxes))
+            all_gts.append(labels_to_eval_format(
+                labels, (cfg.input_image_size[1],
+                         cfg.input_image_size[0])))
+    return evaluate_map(all_dets, all_gts)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", default="models/resnet-18-radam-aug")
+    p.add_argument("--report", default="PARITY_MAP.md",
+                   help="write the measurement report here ('' = skip)")
+    a = p.parse_args(argv)
+
+    import jax
+
+    if jax.default_backend() not in ("cpu",):
+        pass  # TPU fine too; the tool is small either way
+    import jax.numpy as jnp
+    import tensorflow as tf
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    from tests.test_parity_e2e import _KerasReference, _transplant
+
+    from ..config import Config
+    from ..data.loader import Dataset
+    from ..train.trainer import YOLOv3Trainer
+
+    cfg = Config(class_num=13, batch_size=4,
+                 test_label_path=f"{SAMPLE}/label.txt",
+                 test_set_dir=f"{SAMPLE}/images")
+    trainer = YOLOv3Trainer(cfg, restore=True, checkpoint_dir=a.checkpoint)
+    step = int(trainer.state.step)
+    assert step > 0, f"no checkpoint restored from {a.checkpoint}"
+    print(f"restored step {step} from {a.checkpoint}")
+
+    ds = Dataset(cfg, cfg.test_label_path, cfg.test_set_dir, is_test=True,
+                 shuffle=False)
+
+    # ---- our framework's number (run.py --mode test path) ----------- #
+    ours = _score(cfg, lambda b: trainer.predict(b.images), ds)
+    print(f"flax (ours)   mAP@0.5 = {ours['mAP']:.4f}")
+
+    # ---- the Keras reference rebuild with the SAME weights ---------- #
+    ref = _KerasReference()
+    keras_model = ref.build(cfg.input_image_size[:2],
+                            cfg.head_channel_nums)
+    params = jax.tree.map(np.asarray, trainer.state.params)
+    stats = jax.tree.map(np.asarray, trainer.state.batch_stats)
+    _transplant(keras_model, ref, params, stats)
+
+    def keras_forward(batch):
+        imgs = np.stack(batch.images_float()).astype(np.float32)
+        _, h8, h16, h32 = [t.numpy() for t in
+                           keras_model(tf.constant(imgs), training=False)]
+        return (jnp.asarray(h8), jnp.asarray(h16), jnp.asarray(h32))
+
+    theirs = _score(cfg, keras_forward, ds)
+    print(f"keras (ref)   mAP@0.5 = {theirs['mAP']:.4f}")
+
+    delta = abs(ours["mAP"] - theirs["mAP"])
+    ok = delta <= 0.005  # the gate is 0.5 mAP POINTS
+    line = (f"|delta| = {delta * 100:.2f} mAP points -> "
+            f"{'PASS' if ok else 'FAIL'} (gate: 0.5)")
+    print(line)
+
+    if a.report:
+        with open(a.report, "w") as f:
+            f.write(
+                "# mAP parity measurement (round 3)\n\n"
+                "BASELINE.md north star: trained-model mAP@0.5 within "
+                "0.5 points of the Keras reference.\n\n"
+                "Setup: the committed 300-epoch real-sample overfit "
+                f"checkpoint (`{a.checkpoint}`, step {step}, 13-class "
+                "reference sample) is scored twice through the SAME "
+                "decode + NMS + evaluator path "
+                "(yolov3_tensorflow_tpu/infer): once with our flax "
+                "detector (`run.py --mode test` flow) and once with "
+                "the weights transplanted into the layer-by-layer TF2 "
+                "Keras rebuild of the reference "
+                "(tests/test_parity_e2e.py, mirroring "
+                "yolov3_detector.py:44-151 / run.py:41-80).\n\n"
+                "| framework | mAP@0.5 |\n|---|---|\n"
+                f"| this framework (flax) | {ours['mAP']:.4f} |\n"
+                f"| Keras reference rebuild | {theirs['mAP']:.4f} |\n\n"
+                f"{line}\n\n"
+                f"Per-class AP (ours): {json.dumps({str(k): round(v, 4) for k, v in ours['per_class'].items()})}\n\n"
+                f"Per-class AP (keras): {json.dumps({str(k): round(v, 4) for k, v in theirs['per_class'].items()})}\n")
+        print("report written to", a.report)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

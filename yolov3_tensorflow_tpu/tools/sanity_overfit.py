@@ -29,6 +29,9 @@ def main(argv=None):
     p.add_argument("--confidence_thresh", type=float, default=0.4)
     p.add_argument("--save_path", default="",
                    help="write detection visualizations here")
+    p.add_argument("--checkpoint_dir", default="",
+                   help="persist the trained checkpoint here (default: "
+                        "temp dir, discarded)")
     a = p.parse_args(argv)
 
     import run as cli
@@ -43,7 +46,7 @@ def main(argv=None):
         batch_size=a.batch_size, class_num=a.class_num, epoch=a.epochs,
         confidence_thresh=a.confidence_thresh, save_path=a.save_path,
     )
-    ckpt = tempfile.mkdtemp()
+    ckpt = a.checkpoint_dir or tempfile.mkdtemp()
     trainer = YOLOv3Trainer(cfg, restore=False, checkpoint_dir=ckpt)
     cli.train(cfg, trainer)
     report = cli.test(cfg, trainer)
