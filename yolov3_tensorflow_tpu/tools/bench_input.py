@@ -73,13 +73,12 @@ def main(argv=None):
         print(f"native decode thread sweep ({len(paths)} JPEGs/round, "
               f"{ncpu} host core(s)):")
         for nt in (1, 2, 4, 8):
-            t0 = time.perf_counter()
-            rounds = 3
-            for _ in range(rounds):
+            best = 0.0
+            for _ in range(5):  # best-of-5: the 1-core host's scheduler
+                t0 = time.perf_counter()  # noise exceeds 2x otherwise
                 decode_letterbox_batch(paths, dst, num_threads=nt)
-            dt = time.perf_counter() - t0
-            print(f"  threads={nt}: "
-                  f"{len(paths) * rounds / dt:7.0f} img/s")
+                best = max(best, len(paths) / (time.perf_counter() - t0))
+            print(f"  threads={nt}: {best:7.0f} img/s (best of 5)")
         return
 
     # 1. host pipeline throughput (uncached streaming, native decode)
