@@ -28,3 +28,14 @@ def tiny_cfg():
 def sample_paths():
     root = "/root/reference/dataset/test_sample"
     return {"label": f"{root}/label.txt", "images": f"{root}/images"}
+
+
+@pytest.fixture(autouse=True)
+def _reset_op_mesh():
+    """The Pallas-op mesh registration is process-global (any trainer
+    construction sets it); clear it around every test so bare-op tests
+    are isolated from trainer tests."""
+    from yolov3_tensorflow_tpu.ops.partition import set_op_mesh
+    set_op_mesh(None)
+    yield
+    set_op_mesh(None)

@@ -158,13 +158,16 @@ class Config:
     # fp32-only — bf16 is the TPU-native choice for the MXU.
     compute_dtype: str = "bfloat16"
     # conv algorithm: "xla" (default) = direct convolution.  "winograd"
-    # runs eligible train-mode conv+bn->relu links on the fused Winograd
-    # Pallas kernel (ops/winograd.py): 16/36 the MACs, BN apply+relu
-    # fused into the conv input read, BN statistics into the output
-    # write.  Correct and tested, but on this backend XLA's own
-    # conv<->BN fusion clusters measure faster end-to-end (see PERF.md
-    # round-2 notes), so direct convolution stays the default; "auto"
-    # currently resolves to the same choice.
+    # runs eligible train-mode residual modules as fused Winograd
+    # custom-call CHAINS (ops/winograd.py): 16/36 the MACs, residual
+    # boundaries (bn-apply+add+relu) riding the next conv's input read,
+    # BN statistics riding the output write, dy_eff riding the gradient
+    # conv's read — no XLA elementwise pass between custom calls.
+    # Correct, fully tested (values + all gradients incl. ragged
+    # shapes), and mesh-partitioned — but measured SLOWER end-to-end
+    # than XLA's conv<->BN fusion clusters at every granularity on v5e
+    # (74.8-79.2 vs 72.5 ms/step at b128; per-shape roots in PERF.md
+    # round-3 series), so "auto" resolves to direct convolution.
     conv_backend: str = "xla"
     # Winograd chain channel floor: fused winograd blocks engage only
     # where BOTH conv channel counts are >= this.  At 64 channels the

@@ -63,6 +63,13 @@ def lane_sharded_call(invoke, args, arg_ranks_sharded, out_ranks_sharded):
     if ms is None:
         return invoke(*args)
     mesh, axis = ms
+    nshard = mesh.shape[axis]
+    for a, sh in zip(args, arg_ranks_sharded):
+        if sh and a.shape[-1] % nshard != 0:
+            # lane dim not divisible by the data axis (e.g. a small
+            # helper batch while a trainer's mesh is registered): run
+            # unsharded — semantically identical, only less parallel
+            return invoke(*args)
 
     def spec(rank, sharded):
         if not sharded:
