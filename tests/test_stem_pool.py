@@ -6,7 +6,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from yolov3_tensorflow_tpu.ops.stem_pool import bn_pool_relu, supported
+from yolov3_tensorflow_tpu.ops.stem_pool import (bn_pool_relu,
+                                                 bn_pool_relu_eval,
+                                                 supported)
 
 
 def classic(y, inv, shift):
@@ -46,6 +48,39 @@ def test_forward_matches_classic():
     got = bn_pool_relu(y, inv, shift).astype(jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_eval_forward_bit_equals_train_primal():
+    """The code-free inference kernel (bn_pool_relu_eval) must produce
+    the exact same pooled output as the train forward's primal."""
+    H, W, C, N = 16, 8, 8, 4
+    rng = np.random.RandomState(7)
+    y = jnp.asarray(rng.randn(H, W, C, N).astype(np.float32),
+                    jnp.bfloat16)
+    inv = jnp.asarray(rng.rand(C).astype(np.float32) + 0.5)
+    shift = jnp.asarray(rng.randn(C).astype(np.float32) * 0.2)
+    train_p = bn_pool_relu(y, inv, shift)
+    eval_p = bn_pool_relu_eval(y, inv, shift)
+    assert np.array_equal(np.asarray(train_p, np.float32),
+                          np.asarray(eval_p, np.float32))
+
+
+def test_model_eval_stem_backend_parity():
+    """Model-level inference with stem_backend='fused' (running-average
+    BN scalars applied inside the kernel) matches the classic xla eval
+    path on the same params/batch_stats."""
+    from yolov3_tensorflow_tpu.models.resnet18 import ResNet18
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.rand(4, 32, 32, 3).astype(np.float32))
+    heads = {}
+    for backend in ("xla", "fused"):
+        model = ResNet18(stem_backend=backend, dtype=jnp.bfloat16)
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        heads[backend] = model.apply(variables, x, train=False)
+    for a, b in zip(heads["xla"], heads["fused"]):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=3e-2, rtol=3e-2)
 
 
 def test_backward_tie_free_matches_autodiff():

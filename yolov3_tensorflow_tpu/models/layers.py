@@ -55,15 +55,27 @@ class FusedBatchNorm(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     channel_axis: int = -1  # -1 for NHWC, 2 for the [H,W,C,N] stem view
+    features: int | None = None  # required only for stats="running"
     @nn.compact
     def __call__(self, x=None, stats=None):
         """Classic mode (``x``): normalize the tensor.  Stats mode
         (``stats=(sum, sumsq, count)``, fused Winograd path): the
         statistics were already accumulated in a conv epilogue — update
         the running averages and return the fp32 ``(inv, shift)`` apply
-        scalars; the apply itself rides the consumer's input read."""
+        scalars; the apply itself rides the consumer's input read.
+        ``stats="running"`` (inference, needs ``features``): return the
+        ``(inv, shift)`` scalars from the running averages without
+        touching any activation — the fused eval stem applies them
+        inside its kernel."""
         ax = self.channel_axis
-        features = x.shape[ax] if x is not None else stats[0].shape[-1]
+        if x is not None:
+            features = x.shape[ax]
+        elif stats == "running":
+            assert self.features is not None, \
+                "stats='running' needs the features field"
+            features = self.features
+        else:
+            features = stats[0].shape[-1]
         scale = self.param("scale", nn.initializers.ones, (features,),
                            self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (features,),
@@ -73,9 +85,11 @@ class FusedBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((features,), jnp.float32))
         if self.use_running_average:
-            assert stats is None, "stats mode is train-only"
+            assert stats is None or stats == "running", \
+                "batch-stats mode is train-only"
             mean, var = ra_mean.value, ra_var.value
         else:
+            assert stats != "running", "stats='running' is eval-only"
             if stats is not None:
                 s, q, count = stats
                 mean = s / count
@@ -359,16 +373,23 @@ class BasicBackbone(nn.Module):
     # ------------------------------------------------ fused stem -------
     def stem_fused_ok(self, x, train: bool) -> bool:
         """Gate for the fused stem (conv -> BN+maxpool+relu superkernel,
-        ops/stem_pool.py): train-mode, TPU-like backend, bf16, and the
-        post-conv shape supported by the kernel."""
+        ops/stem_pool.py): TPU-like backend, bf16, and the post-conv
+        shape supported by the kernel.  ``auto`` engages it for TRAIN
+        only: in inference the classic path wins — XLA fuses the eval
+        BN-apply+relu into single passes and its reduce_window forward
+        is cheap, so the code-free eval kernel measured BEHIND xla at
+        both bench batches (4197 vs 4382 img/s at b64, 5824 vs 5947 at
+        b128, experiments/ab_infer_stem.py).  Explicit
+        ``stem_backend="fused"`` engages the (correct, tested,
+        mesh-partitioned) eval kernel anyway."""
         from ..ops.stem_pool import supported
-        if self.stem_backend == "xla" or not train:
+        if self.stem_backend == "xla":
             return False
         h, w = x.shape[1], x.shape[2]
         shape = (h // 2, w // 2, 64, x.shape[0])
         if self.stem_backend == "fused":
             return supported(shape)
-        return (jax.default_backend() != "cpu"
+        return (train and jax.default_backend() != "cpu"
                 and jnp.dtype(self.dtype) == jnp.bfloat16
                 and x.shape[0] >= 32 and supported(shape))
 
@@ -376,11 +397,19 @@ class BasicBackbone(nn.Module):
         """The reference stem chain (conv_bn -> max_pool -> relu,
         resnet18.py:53-58) as: XLA conv emitting the [H,W,C,N] view +
         jnp statistics + the fused BN-apply+pool+relu Pallas kernel.
-        Returns the pooled feature in HWCN view."""
-        from ..ops.stem_pool import bn_pool_relu
+        Inference uses the running-average BN scalars and the code-free
+        kernel.  Returns the pooled feature in HWCN view."""
+        from ..ops.stem_pool import bn_pool_relu, bn_pool_relu_eval
         y = HwcnConv(features=filters, kernel_size=(3, 3), strides=(2, 2),
                      out_hwcn=True, dtype=self.dtype,
                      param_dtype=self.param_dtype)(x)  # [H,W,C,N]
+        if not train:
+            inv, shift = FusedBatchNorm(
+                use_running_average=True, momentum=BN_MOMENTUM,
+                epsilon=BN_EPSILON, dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                features=filters)(stats="running")
+            return bn_pool_relu_eval(y, inv, shift)
         y32 = y.astype(jnp.float32)
         s = jnp.sum(y32, axis=(0, 1, 3))
         q = jnp.sum(jnp.square(y32), axis=(0, 1, 3))

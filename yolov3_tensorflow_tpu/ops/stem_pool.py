@@ -74,11 +74,14 @@ def _ev_od(row, TWo, C, N):
 
 
 def _fwd_kernel(ym_ref, yb_ref, rm_ref, rb_ref, scal_ref, out_ref,
-                idx_ref, *, H, W, C, N, WB):
+                *maybe_idx, H, W, C, N, WB, EMIT=True):
     """Step (w, s): pooled output rows s*OB .. s*OB+OB-1 of chunk w.
-    Window r covers input rows 2r..2r+2 and cols 2t..2t+2.  Also emits
-    the winning tap code (row*3 + col of the first maximum in scan
-    order, or 9 when the window is inactive: max <= 0)."""
+    Window r covers input rows 2r..2r+2 and cols 2t..2t+2.  With EMIT
+    (train) also emits the winning tap code (row*3 + col of the first
+    maximum in scan order, or 9 when the window is inactive: max <= 0);
+    inference (bn_pool_relu_eval) skips the code tracking — the compare
+    chain is the kernel's VPU cost (PERF.md: +1.6 ms/step at b128)."""
+    idx_ref = maybe_idx[0] if EMIT else None
     w = pl.program_id(0)
     s = pl.program_id(1)
     nw = pl.num_programs(0)
@@ -120,15 +123,18 @@ def _fwd_kernel(ym_ref, yb_ref, rm_ref, rb_ref, scal_ref, out_ref,
             for b, tap in ((0, E), (1, O), (2, Enext)):
                 if cur is None:
                     cur = tap
-                    code = jnp.zeros((TWo, C, N), jnp.float32)
+                    if EMIT:
+                        code = jnp.zeros((TWo, C, N), jnp.float32)
                 else:
-                    # strict > keeps the FIRST tap on ties
-                    better = tap > cur
+                    if EMIT:
+                        # strict > keeps the FIRST tap on ties
+                        better = tap > cur
+                        code = jnp.where(better, float(a * 3 + b), code)
                     cur = jnp.maximum(cur, tap)
-                    code = jnp.where(better, float(a * 3 + b), code)
-        active = cur > 0
         out_ref[k] = jnp.maximum(cur, 0.0).astype(jnp.bfloat16)  # relu
-        idx_ref[k] = jnp.where(active, code, 9.0).astype(jnp.bfloat16)
+        if EMIT:
+            active = cur > 0
+            idx_ref[k] = jnp.where(active, code, 9.0).astype(jnp.bfloat16)
 
 
 def _bwd_kernel(dpm_ref, dpt_ref, ixm_ref, ixt_ref, pm_ref,
@@ -211,23 +217,26 @@ def _bwd_kernel(dpm_ref, dpt_ref, ixm_ref, ixt_ref, pm_ref,
     out2_ref[1] += acc1
 
 
-def _fwd(y, inv, shift, interpret=None):
+def _fwd(y, inv, shift, interpret=None, emit_codes=True):
     """Forward; under a registered op mesh (ops/partition.py) the
     pallas_call runs inside shard_map over the data axis (batch N is
-    the last dim of the [H,W,C,N] view).  Returns (p, idx)."""
+    the last dim of the [H,W,C,N] view).  Returns (p, idx), or just p
+    when ``emit_codes=False`` (inference)."""
     from .partition import get_op_mesh, lane_sharded_call
     if get_op_mesh() is not None:
         scal_packed = jnp.stack([inv, shift]).astype(jnp.float32)
 
         def invoke(ly, lscal):
-            return _fwd_local(ly, lscal[0], lscal[1], interpret=interpret)
+            return _fwd_local(ly, lscal[0], lscal[1], interpret=interpret,
+                              emit_codes=emit_codes)
 
         return lane_sharded_call(invoke, [y, scal_packed], [True, False],
-                                 [4, 4])
-    return _fwd_local(y, inv, shift, interpret=interpret)
+                                 [4, 4] if emit_codes else [4])
+    return _fwd_local(y, inv, shift, interpret=interpret,
+                      emit_codes=emit_codes)
 
 
-def _fwd_local(y, inv, shift, interpret=None):
+def _fwd_local(y, inv, shift, interpret=None, emit_codes=True):
     H, W, C, N = y.shape
     wb = _pick_wb(W, C, N)
     nw = W // wb
@@ -235,8 +244,13 @@ def _fwd_local(y, inv, shift, interpret=None):
     scal = jnp.stack([inv, shift]).astype(jnp.float32)[:, :, None]
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    p_spec = pl.BlockSpec((OB, wb // 2, C, N),
+                          lambda wi, si: (si, wi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    p_shape = jax.ShapeDtypeStruct((H // 2, W // 2, C, N), jnp.bfloat16)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, H=H, W=W, C=C, N=N, WB=wb),
+        functools.partial(_fwd_kernel, H=H, W=W, C=C, N=N, WB=wb,
+                          EMIT=emit_codes),
         grid=(nw, ns),
         in_specs=[
             pl.BlockSpec((2 * OB, wb, C, N),
@@ -260,16 +274,8 @@ def _fwd_local(y, inv, shift, interpret=None):
             pl.BlockSpec((2, C, 1), lambda wi, si: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(pl.BlockSpec((OB, wb // 2, C, N),
-                                lambda wi, si: (si, wi, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((OB, wb // 2, C, N),
-                                lambda wi, si: (si, wi, 0, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((H // 2, W // 2, C, N),
-                                        jnp.bfloat16),
-                   jax.ShapeDtypeStruct((H // 2, W // 2, C, N),
-                                        jnp.bfloat16)),
+        out_specs=(p_spec, p_spec) if emit_codes else p_spec,
+        out_shape=(p_shape, p_shape) if emit_codes else p_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
@@ -340,6 +346,14 @@ def _bwd_local(idx, dp, p, inv, shift, interpret=None):
         interpret=interpret,
     )(dp, dp, idx, idx, p, dp, dp, idx, idx, scal)
     return dy, s2
+
+
+def bn_pool_relu_eval(y, inv, shift):
+    """Inference-mode p = relu(maxpool_3x3_s2(y*inv + shift)) on the
+    [H,W,C,N] view: no argmax-code tracking (the code compare chain is
+    the train forward's VPU cost; inference never needs a backward).
+    Bit-identical to :func:`bn_pool_relu`'s primal output."""
+    return _fwd(y.astype(jnp.bfloat16), inv, shift, emit_codes=False)
 
 
 @jax.custom_vjp
