@@ -150,6 +150,19 @@ class Config:
     num_devices: int = 0
     data_axis: str = "data"
     model_axis: str = "model"
+    # Spatial partitioning (beyond reference parity — its only
+    # parallelism is DP, trainer.py:40-43): size of the mesh model
+    # axis, over which the image HEIGHT dimension is sharded.  XLA
+    # GSPMD partitions every conv/pool spatially and inserts the halo
+    # exchanges over ICI — the TPU-native route to resolutions / batch
+    # sizes whose activations exceed one chip's HBM, where DP cannot
+    # help (SURVEY.md §2: "spatial partitioning of the conv grid is
+    # the TPU analog" of sequence parallelism).  Requires
+    # stem_backend/conv_backend "xla"|"auto" (custom Pallas calls
+    # partition over the data axis only; the trainer resolves "auto"
+    # to the XLA path when spatial_partition > 1) and H divisible by
+    # 8 * spatial_partition.
+    spatial_partition: int = 1
 
     # --- numerics ---
     # keras.backend.set_epsilon(1e-8) (reference run.py:26)

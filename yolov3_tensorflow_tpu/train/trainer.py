@@ -34,7 +34,8 @@ from ..data.augment import augment_batch
 from ..models.detector import build_detector
 from ..models.layers import l2_regularization
 from ..ops.loss import YOLOv3Loss
-from ..parallel.mesh import batch_sharding, mesh_from_config, replicated
+from ..parallel.mesh import (batch_sharding, image_sharding,
+                             mesh_from_config, replicated)
 from .checkpoint import CheckpointManager
 from .metrics import TensorBoardWriter, log_epoch
 from .optimizers import make_optimizer
@@ -46,6 +47,18 @@ class YOLOv3Trainer:
     def __init__(self, cfg: Config, mesh=None, restore: bool = True,
                  seed: int = 800, enable_tensorboard: bool = False,
                  checkpoint_dir: Optional[str] = None):
+        if cfg.spatial_partition > 1:
+            # spatial partitioning rides XLA GSPMD; the custom Pallas
+            # calls partition over the data axis only, so "auto"
+            # resolves to the XLA paths and explicit kernel backends
+            # are rejected rather than silently replicated
+            assert cfg.stem_backend != "fused" and \
+                cfg.conv_backend != "winograd", (
+                    "spatial_partition > 1 requires the XLA conv/stem "
+                    "paths (custom kernels partition over data only)")
+            assert cfg.input_image_size[0] % (8 * cfg.spatial_partition) \
+                == 0, "H must divide 8 * spatial_partition"
+            cfg = cfg.replace(stem_backend="xla", conv_backend="xla")
         self.cfg = cfg
         self.model = build_detector(cfg)
         self.loss_fn = YOLOv3Loss(cfg)
@@ -57,7 +70,10 @@ class YOLOv3Trainer:
         # of replicating — the reference's DP covers its whole model
         # (yolov3/trainer.py:40-43); ours must cover the kernels too
         from ..ops.partition import set_op_mesh
-        set_op_mesh(self.mesh, cfg.data_axis)
+        if self.mesh.shape[cfg.model_axis] > 1:
+            set_op_mesh(None)  # spatial mode: XLA paths only (above)
+        else:
+            set_op_mesh(self.mesh, cfg.data_axis)
 
         h, w, c = cfg.input_image_size
         init_rng = jax.random.PRNGKey(seed)
@@ -204,6 +220,8 @@ class YOLOv3Trainer:
                 normalize(images), train=False)
 
         data_shard = batch_sharding(self.mesh, self.cfg.data_axis)
+        img_shard = image_sharding(self.mesh, self.cfg.data_axis,
+                                   self.cfg.model_axis)
         repl = replicated(self.mesh)
 
         def with_op_mesh(fn):
@@ -211,9 +229,11 @@ class YOLOv3Trainer:
             before each call: registration is read at TRACE time, and a
             process can hold trainers with different meshes (tests)."""
             from ..ops.partition import set_op_mesh
+            spatial = self.mesh.shape[self.cfg.model_axis] > 1
 
             def wrapped(*a):
-                set_op_mesh(self.mesh, self.cfg.data_axis)
+                set_op_mesh(None if spatial else self.mesh,
+                            self.cfg.data_axis)
                 return fn(*a)
             wrapped.lower = fn.lower  # keep jit's AOT surface (_model_structure)
             return wrapped
@@ -221,15 +241,15 @@ class YOLOv3Trainer:
         return (
             with_op_mesh(jax.jit(
                 train_step,
-                in_shardings=(repl, data_shard, data_shard),
+                in_shardings=(repl, img_shard, data_shard),
                 out_shardings=(repl, repl),
                 donate_argnums=(0,))),
             with_op_mesh(jax.jit(
                 eval_step,
-                in_shardings=(repl, data_shard, data_shard),
+                in_shardings=(repl, img_shard, data_shard),
                 out_shardings=repl)),
             with_op_mesh(jax.jit(
-                forward, in_shardings=(repl, data_shard),
+                forward, in_shardings=(repl, img_shard),
                 out_shardings=repl)),
         )
 
