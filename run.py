@@ -31,7 +31,7 @@ def build_config(args) -> "Config":
             overrides[field] = v
     for field in ("batch_size", "epoch", "class_num", "max_boxes",
                   "rectified_coord_num", "num_devices", "train_set_size",
-                  "val_set_size"):
+                  "val_set_size", "spatial_partition"):
         v = getattr(args, field, None)
         if v is not None:
             overrides[field] = v
@@ -158,6 +158,9 @@ def main(argv=None):
     p.add_argument("--max_boxes", type=int, default=None)
     p.add_argument("--rectified_coord_num", type=int, default=None)
     p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--spatial_partition", type=int, default=None,
+                   help="shard image height over this many devices "
+                        "(mesh model axis; XLA GSPMD halo exchange)")
     p.add_argument("--train_set_size", type=int, default=None,
                    help="images per epoch (sets steps_per_epoch)")
     p.add_argument("--val_set_size", type=int, default=None)

@@ -90,3 +90,32 @@ def test_cli_build_config():
     assert cfg.is_augment is False and cfg.is_focal_loss is True
     assert cfg.confidence_thresh == 0.25
     assert cfg.head_channel_nums == (36, 24, 36)  # B*(5+7)
+
+
+def test_hlo_stats_aggregation_and_format():
+    """profiler.aggregate_hlo_stats / format_op_table on a synthetic
+    xprof gviz table (the hlo_stats schema the TPU workflow parses)."""
+    from yolov3_tensorflow_tpu.utils.profiler import (aggregate_hlo_stats,
+                                                      format_op_table)
+    table = {
+        "cols": [{"id": "hlo_op_name"}, {"id": "category"},
+                 {"id": "total_time"}, {"id": "model_flop_rate"},
+                 {"id": "occurrences"}, {"id": "hlo_op_expression"}],
+        "rows": [
+            {"c": [{"v": "fusion.1"}, {"v": "convolution fusion"},
+                   {"v": "1000"}, {"v": "150000"}, {"v": "5"},
+                   {"v": "%fusion.1 = ..."}]},
+            {"c": [{"v": "fusion.2"}, {"v": "convolution fusion"},
+                   {"v": "500"}, {"v": "90000"}, {"v": "5"}, None]},
+            {"c": [{"v": "copy.1"}, {"v": "copy"}, {"v": "250"},
+                   None, {"v": "5"}, {"v": ""}]},
+        ],
+    }
+    by_cat, ops = aggregate_hlo_stats(table)
+    assert by_cat == {"convolution fusion": 1500.0, "copy": 250.0}
+    assert [o[2] for o in ops] == ["fusion.1", "fusion.2", "copy.1"]
+    assert ops[0][3] == 150000.0
+    text = format_op_table(by_cat, ops, top_n=2, steps=5)
+    assert "0.35 ms/step" in text       # total 1750us / 5 steps
+    assert "convolution fusion" in text
+    assert "fusion.1" in text and "copy.1" not in text  # top_n=2

@@ -40,6 +40,83 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+def _gviz_rows(table: dict) -> list[dict]:
+    """gviz JSON table ({"cols": [...], "rows": [{"c": [...]}]}) ->
+    list of {col_id: value} dicts."""
+    ids = [c["id"] for c in table["cols"]]
+    return [dict(zip(ids, [c["v"] if c else None for c in r["c"]]))
+            for r in table["rows"]]
+
+
+def aggregate_hlo_stats(table: dict):
+    """Aggregate an xprof 'hlo_stats' gviz table.
+
+    Returns ``(by_category, ops)``: by_category maps op category ->
+    total self time in us; ops is a list of
+    (time_us, category, name, gflops_rate, occurrences, expression)
+    sorted by time descending."""
+    def fget(r, key):
+        try:
+            return float(r.get(key) or 0)
+        except (TypeError, ValueError):
+            return 0.0
+
+    by_cat: dict[str, float] = {}
+    ops = []
+    for r in _gviz_rows(table):
+        t = fget(r, "total_time")  # us
+        cat = r.get("category") or "?"
+        by_cat[cat] = by_cat.get(cat, 0.0) + t
+        ops.append((t, cat, r.get("hlo_op_name") or "?",
+                    fget(r, "model_flop_rate"), fget(r, "occurrences"),
+                    r.get("hlo_op_expression") or ""))
+    ops.sort(key=lambda o: -o[0])
+    return by_cat, ops
+
+
+def hlo_op_table(trace_dir: str):
+    """Parse a ``jax.profiler.trace`` directory into per-op HLO times
+    via xprof's hlo_stats tool (the workflow that drove the round-2/3
+    kernel decisions, PERF.md).  Returns ``(by_category, ops)`` as in
+    :func:`aggregate_hlo_stats`; raises RuntimeError when the trace has
+    no xplane files or no HLO rows (e.g. host-only CPU traces)."""
+    import glob
+    import json
+
+    files = glob.glob(trace_dir + "/**/*.xplane.pb", recursive=True)
+    if not files:
+        raise RuntimeError(f"no xplane.pb under {trace_dir}")
+    from xprof.convert import raw_to_tool_data as rtd
+    data, _ = rtd.xspace_to_tool_data(files, "hlo_stats", {})
+    if isinstance(data, bytes):
+        data = data.decode()
+    table = json.loads(data)
+    if not table.get("rows"):
+        raise RuntimeError("hlo_stats returned no rows "
+                           "(host-only trace?)")
+    return aggregate_hlo_stats(table)
+
+
+def format_op_table(by_cat, ops, top_n: int = 30,
+                    steps: int = 1) -> str:
+    """Human-readable per-op report; ``steps`` divides times into
+    per-step figures."""
+    total = sum(by_cat.values())
+    lines = [f"== by category (total {total/1e3:.2f} ms across trace, "
+             f"{total/1e3/steps:.2f} ms/step) =="]
+    for cat, t in sorted(by_cat.items(), key=lambda kv: -kv[1]):
+        lines.append(f"  {t/1e3/steps:9.3f} ms/step  "
+                     f"{100*t/total:5.1f}%  {cat}")
+    lines.append(f"== top {top_n} ops ==")
+    for t, cat, name, rate, occ, expr in ops[:top_n]:
+        r = f"  {rate:8.1f} GFLOP/s" if rate else ""
+        lines.append(f"  {t/1e3/steps:9.3f} ms/step x{occ:3.0f} "
+                     f"[{cat}] {name[:70]}{r}")
+        if expr:
+            lines.append(f"      {expr[:150]}")
+    return "\n".join(lines)
+
+
 class StepTimer:
     """Host-side step timing with throughput stats.
 
