@@ -1,0 +1,54 @@
+"""End-to-end CLI: the actual user surface (run.py main) driven
+through train -> test -> predict on a synthetic dataset, mirroring the
+reference's run.py mode dispatcher (reference run.py:123-181).
+
+Everything runs in-process (conftest forces the CPU backend) inside a
+tmp cwd so the derived log/checkpoint paths stay out of the repo."""
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import run as cli
+from yolov3_tensorflow_tpu.tools.make_synthetic_dataset import generate
+
+
+@pytest.fixture(scope="module")
+def sample_set(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cli_set"))
+    generate(out, 8, (128, 96), seed=3)
+    return out
+
+
+def test_cli_train_test_predict(sample_set, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    common = ["--input_size", "96x128", "--batch_size", "4",
+              "--class_num", "3", "--max_boxes", "4",
+              "--train_set_size", "8", "--checkpoint_dir", ckpt,
+              "--num_devices", "1", "--no_augment"]
+
+    cli.main(["--mode", "train", "--epoch", "2",
+              "--train_label_path", os.path.join(sample_set, "label.txt"),
+              "--train_set_dir", os.path.join(sample_set, "images"),
+              *common])
+    assert os.path.isdir(ckpt) and os.listdir(ckpt), "no checkpoint saved"
+
+    out_dir = str(tmp_path / "out_test")
+    cli.main(["--mode", "test", "--confidence_thresh", "0.1",
+              "--test_label_path", os.path.join(sample_set, "label.txt"),
+              "--test_set_dir", os.path.join(sample_set, "images"),
+              "--save_path", out_dir, *common])
+    written = glob.glob(os.path.join(out_dir, "*.jpg"))
+    assert len(written) == 8, written  # one visualization per image
+    # drawn output must be a valid image of the input size
+    from PIL import Image
+    img = np.asarray(Image.open(written[0]))
+    assert img.shape[:2] == (96, 128)
+
+    pred_dir = str(tmp_path / "out_pred")
+    cli.main(["--mode", "predict", "--confidence_thresh", "0.1",
+              "--image_root_path", os.path.join(sample_set, "images"),
+              "--save_path", pred_dir, *common])
+    assert len(glob.glob(os.path.join(pred_dir, "*.jpg"))) == 8
