@@ -148,6 +148,64 @@ class _KerasReference:
                                      outputs=[merged, h8, h16, h32])
 
 
+class _KerasMixNet(_KerasReference):
+    """The reference MixNet-18 in TF2 Keras (backbone/mixnet18.py:11-83):
+    the ResNet topology with MixConv residual blocks — channel split by
+    cumulative ratio [8,4,2,2]/16, depthwise conv of kernel size
+    (3,5,7,9) per split, concat.  The most wiring-error-prone backbone
+    (slice bounds + per-split depthwise/BN interleaving), hence the
+    second end-to-end gate."""
+
+    MIX_KERNEL_SIZES = [(3, 3), (5, 5), (7, 7), (9, 9)]
+    _r = np.cumsum([0, 8, 4, 2, 2]) / 16.0
+
+    def depthwise_conv_bn(self, x, kernel_size):
+        """basic_backbone.py:45-66,140-150 (depth_multiplier 1, same
+        padding, no bias); recorded in the shared conv creation order
+        (the flax side names depthwise convs in the same Conv_N
+        counter)."""
+        name = f"conv_{len(self.convs)}"
+        self.convs.append(name)
+        x = tf.keras.layers.DepthwiseConv2D(
+            kernel_size, padding="same", use_bias=False, name=name)(x)
+        return self.bn(x)
+
+    def mix_residual_block(self, x, filters, is_nin, strides=(1, 1)):
+        """mixnet18.py:23-48."""
+        r = self.act(self.conv_bn(x, filters, strides=strides))
+        bounds = (filters * self._r).astype(np.int64)
+        outs = []
+        for i, ksize in enumerate(self.MIX_KERNEL_SIZES):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            chunk = tf.keras.layers.Lambda(
+                lambda t, lo=lo, hi=hi: t[:, :, :, lo:hi])(r)
+            outs.append(self.depthwise_conv_bn(chunk, ksize))
+        merged = tf.keras.layers.concatenate(outs, axis=-1)
+        return self.act(self.element_wise_add(x, merged, is_nin))
+
+    def mix_residual_module(self, x, filters, strides=(1, 1)):
+        """mixnet18.py:51-63."""
+        x = self.mix_residual_block(x, filters, is_nin=True,
+                                    strides=strides)
+        return self.mix_residual_block(x, filters, is_nin=False)
+
+    def backbone(self, x):
+        """mixnet18.py:66-83."""
+        net = self.conv_bn(x, 64, strides=(2, 2))
+        net = tf.keras.layers.MaxPooling2D(pool_size=(3, 3),
+                                           strides=(2, 2),
+                                           padding="same")(net)
+        net = self.act(net)
+        net = self.mix_residual_module(net, 64)
+        s8 = self.mix_residual_module(net, 128, strides=(2, 2))
+        s16 = self.mix_residual_module(s8, 256, strides=(2, 2))
+        s32 = self.mix_residual_module(s16, 512, strides=(2, 2))
+        return s8, s16, s32
+
+
+REF_BUILDERS = {"resnet-18": _KerasReference, "mixnet-18": _KerasMixNet}
+
+
 def _index_of(name: str) -> int:
     return int(name.rsplit("_", 1)[1])
 
@@ -208,7 +266,15 @@ def _transplant(keras_model, ref: _KerasReference, params, stats):
         leaf = (bb_convs[i] if i < n_bb else hd_convs[i - n_bb])["kernel"]
         layer = keras_model.get_layer(name)
         k = np.asarray(leaf, np.float32)
-        assert tuple(layer.kernel.shape) == k.shape, (name, k.shape)
+        if isinstance(layer, tf.keras.layers.DepthwiseConv2D):
+            # flax grouped-conv kernel (kh, kw, 1, C) ->
+            # keras depthwise kernel (kh, kw, C, 1)
+            assert k.shape[2] == 1, (name, k.shape)
+            k = np.transpose(k, (0, 1, 3, 2))
+            assert tuple(layer.get_weights()[0].shape) == k.shape, \
+                (name, k.shape)
+        else:
+            assert tuple(layer.kernel.shape) == k.shape, (name, k.shape)
         layer.set_weights([k])
     for i, name in enumerate(ref.bns):
         p = bb_bns_p[i] if i < n_bb else hd_bns_p[i - n_bb]
@@ -223,9 +289,10 @@ def _transplant(keras_model, ref: _KerasReference, params, stats):
             [np.asarray(p["kernel"]), np.asarray(p["bias"])])
 
 
-@pytest.fixture(scope="module")
-def parity_setup():
-    cfg = Config(class_num=13, compute_dtype="float32")
+@pytest.fixture(scope="module", params=("resnet-18", "mixnet-18"))
+def parity_setup(request):
+    cfg = Config(class_num=13, compute_dtype="float32",
+                 model_backbone=request.param)
     examples = parse_label_file(f"{SAMPLE}/label.txt", f"{SAMPLE}/images")
     images = np.stack([
         load_image(ex.path, cfg.input_image_size[:2], as_float=True)
@@ -241,7 +308,7 @@ def parity_setup():
     params, stats = _randomize(variables["params"],
                                variables["batch_stats"])
 
-    ref = _KerasReference()
+    ref = REF_BUILDERS[request.param]()
     keras_model = ref.build(cfg.input_image_size[:2], cfg.head_channel_nums)
     _transplant(keras_model, ref, params, stats)
 
