@@ -252,8 +252,134 @@ class _KerasMobileNetV2(_KerasMixNet):
         return s8, s16, s32
 
 
+class _KerasResNet18V2(_KerasReference):
+    """The reference ResNet-18-v2 in TF2 Keras
+    (backbone/resnet18_v2.py:10-74): PRE-activation blocks
+    (bn+relu -> conv -> bn+relu -> conv -> add), a stem with NO BN/act,
+    the NIN shortcut tapping the pre-activated input, and an extra
+    bn_activation on each of the three output taps.  BN placement is
+    the wiring risk this variant exercises — conv and BN creation
+    orders deliberately diverge."""
+
+    def bn_act(self, x):
+        """basic_backbone.py:152-163."""
+        return self.act(self.bn(x))
+
+    def residual_v2_block(self, x, filters, is_nin, strides=(1, 1)):
+        """resnet18_v2.py:14-37."""
+        pre = self.bn_act(x)
+        r = self.conv(pre, filters, strides=strides)
+        r = self.conv(self.bn_act(r), filters)
+        return self.element_wise_add(pre if is_nin else x, r, is_nin)
+
+    def residual_v2_module(self, x, filters, strides=(1, 1)):
+        """resnet18_v2.py:40-52."""
+        x = self.residual_v2_block(x, filters, is_nin=True,
+                                   strides=strides)
+        return self.residual_v2_block(x, filters, is_nin=False)
+
+    def backbone(self, x):
+        """resnet18_v2.py:55-74."""
+        net = self.conv(x, 64, strides=(2, 2))
+        net = tf.keras.layers.MaxPooling2D(pool_size=(3, 3),
+                                           strides=(2, 2),
+                                           padding="same")(net)
+        net = self.residual_v2_module(net, 64)
+        s8 = self.residual_v2_module(net, 128, strides=(2, 2))
+        s16 = self.residual_v2_module(s8, 256, strides=(2, 2))
+        s32 = self.residual_v2_module(s16, 512, strides=(2, 2))
+        return self.bn_act(s8), self.bn_act(s16), self.bn_act(s32)
+
+
+class _KerasResNeXt18(_KerasReference):
+    """The reference ResNeXt-18 in TF2 Keras (backbone/resnext.py:11-99)
+    with the INTENDED disjoint channel partition: the reference never
+    advances start_channel (resnext.py:54-61) so its groups overlap the
+    channel prefix — a latent defect the rebuild deliberately fixes
+    (models/resnext18.py docstring).  This mirror implements the intent
+    as per-group convs over DISJOINT slices, which also pins that the
+    rebuild's per-bucket grouped convolutions (feature_group_count)
+    equal the per-slice conv composition; the transplant splits each
+    flax grouped kernel/BN along output channels via (j, groups)
+    specs."""
+
+    MIX_KERNEL_SIZES = [(3, 3), (5, 5), (7, 7), (9, 9)]
+    GROUP_NUMS = np.array([16, 8, 4, 4])
+    SMALL_GROUP_NUMS = GROUP_NUMS // 2
+
+    def __init__(self):
+        super().__init__()
+        self.conv_groups, self.bn_groups = [], []
+
+    def conv(self, x, *a, **kw):
+        self.conv_groups.append(None)
+        return super().conv(x, *a, **kw)
+
+    def bn(self, x):
+        self.bn_groups.append(None)
+        return super().bn(x)
+
+    def group_conv_bn(self, x, gc, kernel_size, j, groups):
+        """One per-group conv+bn over its disjoint slice; recorded with
+        the (j, groups) spec so the transplant slices the rebuild's
+        grouped kernel/BN."""
+        name = f"conv_{len(self.convs)}"
+        self.convs.append(name)
+        self.conv_groups.append((j, int(groups)))
+        y = tf.keras.layers.Conv2D(gc, kernel_size, padding="same",
+                                   use_bias=False, name=name)(x)
+        bname = f"bn_{len(self.bns)}"
+        self.bns.append(bname)
+        self.bn_groups.append((j, int(groups)))
+        return tf.keras.layers.BatchNormalization(
+            axis=3, momentum=0.9, epsilon=1e-5, name=bname)(y)
+
+    def inception_residual_block(self, x, filters, is_nin,
+                                 strides=(1, 1)):
+        """resnext.py:26-65 (with the disjoint-slice intent)."""
+        r = self.act(self.conv_bn(x, filters, strides=strides))
+        group_nums = self.GROUP_NUMS
+        total = int(group_nums.sum())
+        if filters % total != 0 or filters // total < 4:
+            group_nums = self.SMALL_GROUP_NUMS
+            total = int(group_nums.sum())
+        gc = filters // total
+        outs, start = [], 0
+        for i, groups in enumerate(group_nums):
+            for j in range(int(groups)):
+                lo, hi = start, start + gc
+                chunk = tf.keras.layers.Lambda(
+                    lambda t, lo=lo, hi=hi: t[:, :, :, lo:hi])(r)
+                outs.append(self.group_conv_bn(
+                    chunk, gc, self.MIX_KERNEL_SIZES[i], j, groups))
+                start += gc
+        merged = tf.keras.layers.concatenate(outs, axis=-1)
+        return self.act(self.element_wise_add(x, merged, is_nin))
+
+    def inception_residual_module(self, x, filters, strides=(1, 1)):
+        """resnext.py:68-80."""
+        x = self.inception_residual_block(x, filters, is_nin=True,
+                                          strides=strides)
+        return self.inception_residual_block(x, filters, is_nin=False)
+
+    def backbone(self, x):
+        """resnext.py:83-99 (conv_bn -> maxpool -> act)."""
+        net = self.conv_bn(x, 64, strides=(2, 2))
+        net = tf.keras.layers.MaxPooling2D(pool_size=(3, 3),
+                                           strides=(2, 2),
+                                           padding="same")(net)
+        net = self.act(net)
+        net = self.inception_residual_module(net, 64)
+        s8 = self.inception_residual_module(net, 128, strides=(2, 2))
+        s16 = self.inception_residual_module(s8, 256, strides=(2, 2))
+        s32 = self.inception_residual_module(s16, 512, strides=(2, 2))
+        return s8, s16, s32
+
+
 REF_BUILDERS = {"resnet-18": _KerasReference, "mixnet-18": _KerasMixNet,
-                "mobilenet-v2": _KerasMobileNetV2}
+                "mobilenet-v2": _KerasMobileNetV2,
+                "resnet-18-v2": _KerasResNet18V2,
+                "resnext-18": _KerasResNeXt18}
 
 
 def _index_of(name: str) -> int:
@@ -309,11 +435,28 @@ def _transplant(keras_model, ref: _KerasReference, params, stats):
                              "FusedBatchNorm_")
     hd_bns_s = _flax_ordered(stats, "FusedBatchNorm_")
 
-    n_bb = len(bb_convs)
-    assert len(ref.convs) == n_bb + len(hd_convs), \
-        (len(ref.convs), n_bb, len(hd_convs))
+    # cursor walk: one flax conv usually feeds one Keras layer; a
+    # grouped spec (j, groups) — resnext — feeds `groups` consecutive
+    # Keras per-group convs from ONE flax grouped conv, split along the
+    # output-channel axis (grouped conv == per-slice convs)
+    flax_convs = bb_convs + hd_convs
+    conv_groups = getattr(ref, "conv_groups", None) or \
+        [None] * len(ref.convs)
+    fi = 0
     for i, name in enumerate(ref.convs):
-        leaf = (bb_convs[i] if i < n_bb else hd_convs[i - n_bb])["kernel"]
+        spec = conv_groups[i]
+        if spec is None or spec[0] == 0:
+            leaf = flax_convs[fi]["kernel"]
+            fi += 1
+        if spec is not None:
+            j, groups = spec
+            k_full = np.asarray(leaf, np.float32)
+            gc = k_full.shape[3] // groups
+            k = k_full[:, :, :, j * gc:(j + 1) * gc]
+            layer = keras_model.get_layer(name)
+            assert tuple(layer.kernel.shape) == k.shape, (name, k.shape)
+            layer.set_weights([k])
+            continue
         layer = keras_model.get_layer(name)
         k = np.asarray(leaf, np.float32)
         if isinstance(layer, tf.keras.layers.DepthwiseConv2D):
@@ -326,12 +469,31 @@ def _transplant(keras_model, ref: _KerasReference, params, stats):
         else:
             assert tuple(layer.kernel.shape) == k.shape, (name, k.shape)
         layer.set_weights([k])
+    assert fi == len(flax_convs), (fi, len(flax_convs))
+
+    # BNs walk with their own cursor (resnet-18-v2 has more backbone
+    # BNs than convs); a grouped spec slices the flax per-channel
+    # params for the per-group Keras BNs
+    flax_bns = list(zip(bb_bns_p + hd_bns_p, bb_bns_s + hd_bns_s))
+    bn_groups = getattr(ref, "bn_groups", None) or [None] * len(ref.bns)
+    fi = 0
     for i, name in enumerate(ref.bns):
-        p = bb_bns_p[i] if i < n_bb else hd_bns_p[i - n_bb]
-        s = bb_bns_s[i] if i < n_bb else hd_bns_s[i - n_bb]
+        spec = bn_groups[i]
+        if spec is None or spec[0] == 0:
+            p, st = flax_bns[fi]
+            fi += 1
+        if spec is not None:
+            j, groups = spec
+            gc = np.asarray(p["scale"]).shape[0] // groups
+            sl = slice(j * gc, (j + 1) * gc)
+            keras_model.get_layer(name).set_weights([
+                np.asarray(p["scale"])[sl], np.asarray(p["bias"])[sl],
+                np.asarray(st["mean"])[sl], np.asarray(st["var"])[sl]])
+            continue
         keras_model.get_layer(name).set_weights([
             np.asarray(p["scale"]), np.asarray(p["bias"]),
-            np.asarray(s["mean"]), np.asarray(s["var"])])
+            np.asarray(st["mean"]), np.asarray(st["var"])])
+    assert fi == len(flax_bns), (fi, len(flax_bns))
     for name in ref.head_outs:
         suffix = name.rsplit("_", 1)[1]
         p = params[f"head_out_{suffix}"]
@@ -340,7 +502,8 @@ def _transplant(keras_model, ref: _KerasReference, params, stats):
 
 
 @pytest.fixture(scope="module",
-                params=("resnet-18", "mixnet-18", "mobilenet-v2"))
+                params=("resnet-18", "mixnet-18", "mobilenet-v2",
+                        "resnet-18-v2", "resnext-18"))
 def parity_setup(request):
     cfg = Config(class_num=13, compute_dtype="float32",
                  model_backbone=request.param)
