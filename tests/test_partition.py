@@ -30,6 +30,23 @@ def _lane_shard(mesh, t):
         t, NamedSharding(mesh, P(*([None] * (t.ndim - 1) + ["data"]))))
 
 
+def test_stem_eval_kernel_mesh_equivalence(mesh8):
+    """bn_pool_relu_eval (code-free inference forward): identical output
+    on 1 vs 8 devices."""
+    from yolov3_tensorflow_tpu.ops.stem_pool import bn_pool_relu_eval
+    rng = np.random.RandomState(3)
+    y = jnp.asarray(rng.randn(16, 16, 8, 8).astype(np.float32) * 2,
+                    jnp.bfloat16)
+    inv = jnp.asarray(rng.rand(8).astype(np.float32) + 0.5)
+    shift = jnp.asarray(rng.randn(8).astype(np.float32) * 0.1)
+
+    set_op_mesh(None)
+    p1 = bn_pool_relu_eval(y, inv, shift)
+    set_op_mesh(mesh8)
+    p8 = jax.jit(bn_pool_relu_eval)(_lane_shard(mesh8, y), inv, shift)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p8))
+
+
 def test_stem_kernel_mesh_equivalence(mesh8):
     """bn_pool_relu: identical forward and gradients on 1 vs 8 devices
     (batch lanes sharded over the data axis)."""
