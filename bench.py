@@ -29,37 +29,47 @@ def main_infer(args):
     import jax.numpy as jnp
 
     from yolov3_tensorflow_tpu.config import Config
+    from yolov3_tensorflow_tpu.models.detector import build_detector
     from yolov3_tensorflow_tpu.ops.nms import BatchedNMS
     from yolov3_tensorflow_tpu.train.trainer import YOLOv3Trainer
 
+    quant = "--quant" in args
+    args = [a for a in args if a != "--quant"]
     batch = int(args[0]) if args else 64
     steps = int(args[1]) if len(args) > 1 else 20
     cfg = Config(input_image_size=(416, 416, 3), batch_size=batch,
-                 max_boxes=32, num_devices=1, confidence_thresh=0.5)
+                 max_boxes=32, num_devices=1, confidence_thresh=0.5,
+                 quant="int8" if quant else "none")
     trainer = YOLOv3Trainer(cfg, restore=False,
                             checkpoint_dir=tempfile.mkdtemp())
     nms = BatchedNMS(cfg)
+    model = build_detector(cfg, quant="int8") if quant else trainer.model
 
     @jax.jit
-    def infer(state, images):
-        heads = trainer.model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            images.astype(jnp.float32) / 255.0, train=False)
+    def infer(state, qvars, images):
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        if quant:
+            variables["quant"] = qvars
+        heads = model.apply(variables,
+                            images.astype(jnp.float32) / 255.0, train=False)
         return nms(heads)
 
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randint(0, 255, (batch, 416, 416, 3),
                                      dtype=np.uint8))
-    det = infer(trainer.state, images)
+    qvars = trainer.calibrate(images) if quant else 0
+    det = infer(trainer.state, qvars, images)
     _ = float(jnp.sum(det))
     t0 = time.perf_counter()
     for _ in range(steps):
-        det = infer(trainer.state, images)
+        det = infer(trainer.state, qvars, images)
     _ = float(jnp.sum(det))
     dt = time.perf_counter() - t0
     img_s = batch * steps / dt
     print(json.dumps({
-        "metric": "infer_images_per_sec_batched_nms_416",
+        "metric": "infer_images_per_sec_batched_nms_416"
+                  + ("_int8" if quant else ""),
         "value": round(img_s, 2),
         "unit": "img/s",
         "vs_baseline": None,  # the reference publishes no number

@@ -25,7 +25,7 @@ def build_config(args) -> "Config":
     overrides = {}
     for field in ("mode", "model_backbone", "optimizer", "train_label_path",
                   "train_set_dir", "test_label_path", "test_set_dir",
-                  "save_path", "image_root_path"):
+                  "save_path", "image_root_path", "quant"):
         v = getattr(args, field, None)
         if v is not None:
             overrides[field] = v
@@ -170,6 +170,10 @@ def main(argv=None):
     p.add_argument("--no_augment", action="store_true")
     p.add_argument("--focal_loss", action="store_true")
     p.add_argument("--tiou_recall", action="store_true")
+    p.add_argument("--quant", default=None, choices=["none", "int8"],
+                   help="post-training int8 inference (test/predict "
+                        "modes): eligible convs run int8 with scales "
+                        "calibrated on the first batch")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
     p.add_argument("--checkpoint_dir", default=None)

@@ -194,6 +194,16 @@ class Config:
     # paths; "xla" forces the classic composition; "fused" forces the
     # kernel (tests)
     stem_backend: str = "auto"
+    # Post-training int8 INFERENCE quantization (ops/quantize.py):
+    # "int8" runs the measured-eligible early-module convs (both
+    # channel counts <= 128, area >= 52^2 — the bandwidth-bound shapes
+    # where int8 measured 1.18-1.30x, probe_int8_conv.py) on the int8
+    # path with per-channel weight scales and activation scales
+    # calibrated from the first batches seen.  Eval/predict only —
+    # training always runs bf16 (XLA exposes no 2x int8 MXU rate, so
+    # int8 is a bandwidth lever only; probe_int8_dot2.py).  Accuracy
+    # gate: real-sample mAP within +/-0.5 of bf16 (PERF.md round 3).
+    quant: str = "none"  # none | int8
 
     # ------------------------------------------------------------------ #
     # Derived fields (reference configs.py:43-49,73-79)

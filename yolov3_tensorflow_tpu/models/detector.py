@@ -79,6 +79,7 @@ class YOLOv3Detector(BasicBackbone):
             conv_backend=self.conv_backend,
             stem_backend=self.stem_backend,
             winograd_min_channels=self.winograd_min_channels,
+            quant=self.quant,
             name="backbone")
         s8, s16, s32 = backbone(images, train=train)
         c8, c16, c32 = self.head_channel_nums
@@ -113,7 +114,11 @@ class YOLOv3Detector(BasicBackbone):
                 jnp.asarray(p32, jnp.float32))
 
 
-def build_detector(cfg: Config) -> YOLOv3Detector:
+def build_detector(cfg: Config, quant: str = "none") -> YOLOv3Detector:
+    """``quant``: "none" (training / plain eval), "calibrate" or "int8"
+    (PTQ inference, ops/quantize.py) — passed separately from cfg.quant
+    because the trainer's train/eval model is always unquantized; only
+    its dedicated inference path engages the quantized variants."""
     return YOLOv3Detector(
         backbone_name=cfg.model_backbone,
         head_channel_nums=tuple(cfg.head_channel_nums),
@@ -121,6 +126,7 @@ def build_detector(cfg: Config) -> YOLOv3Detector:
         conv_backend=cfg.conv_backend,
         stem_backend=cfg.stem_backend,
         winograd_min_channels=cfg.winograd_min_channels,
+        quant=quant,
     )
 
 

@@ -194,6 +194,58 @@ class HwcnConv(nn.Module):
 HwcnConv.__name__ = "Conv"  # share flax's Conv_N name counter
 
 
+class QuantConv(nn.Module):
+    """Post-training-quantized int8 inference conv (ops/quantize.py).
+
+    Drop-in replacement for the eligible nn.Conv instances when the
+    backbone runs with ``quant != "none"``: the param subtree
+    ({kernel}, HWIO) and the auto-name "Conv_N" match nn.Conv exactly
+    (shared flax name counter), so the SAME checkpoint params load on
+    either path.  Adds one scalar per conv in the "quant" collection:
+
+      * ``mode="calibrate"``: runs the ordinary bf16 conv and records
+        the running abs-max of its INPUT into ``quant/act_absmax``
+        (mutable apply); call over a calibration set.
+      * ``mode="int8"``: quantizes the input with the calibrated scale,
+        the kernel per-output-channel, and runs the int8 MXU conv.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: str = "SAME"
+    mode: str = "int8"  # int8 | calibrate
+    kernel_init: Any = nn.initializers.he_normal()
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.quantize import quantized_conv
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (*self.kernel_size, x.shape[-1], self.features),
+            self.param_dtype)
+        amax = self.variable("quant", "act_absmax",
+                             lambda: jnp.zeros((), jnp.float32))
+        if self.mode == "calibrate":
+            if not self.is_initializing():
+                amax.value = jnp.maximum(
+                    amax.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=tuple(self.strides), padding=self.padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=self.dtype)
+        assert self.mode == "int8", f"unknown quant mode {self.mode!r}"
+        return quantized_conv(x, kernel, amax.value,
+                              strides=tuple(self.strides),
+                              padding=self.padding, out_dtype=self.dtype)
+
+
+QuantConv.__name__ = "Conv"  # share flax's Conv_N name counter
+
+
 class BasicBackbone(nn.Module):
     """Base module giving all backbones the shared op vocabulary."""
 
@@ -203,6 +255,11 @@ class BasicBackbone(nn.Module):
     stem_backend: str = "auto"  # auto | fused | xla
     # channel floor for the fused winograd chain (see Config)
     winograd_min_channels: int = 128
+    # post-training int8 inference (ops/quantize.py): "none" for
+    # training and plain eval; "calibrate" records activation abs-max
+    # into the "quant" collection; "int8" runs the eligible convs on
+    # the int8 path with the calibrated scales.  Eval-only modes.
+    quant: str = "none"  # none | calibrate | int8
 
     def _use_winograd(self, x, filters, kernel_size, strides, padding,
                       feature_group_count) -> bool:
@@ -234,7 +291,23 @@ class BasicBackbone(nn.Module):
         (basic_backbone.py:20-43).  Always direct XLA convolution — the
         Winograd kernel only enters through the FUSED helpers below
         (a bare conv swap measured net-negative: it breaks XLA's
-        conv<->BN fusion clusters)."""
+        conv<->BN fusion clusters).  With ``quant != "none"`` the
+        measured-eligible shapes (ops/quantize.py gate) run on the
+        int8 PTQ path instead."""
+        if self.quant != "none":
+            from ..ops.quantize import quant_eligible
+            if quant_eligible(x.shape, filters, kernel_size, strides,
+                              feature_group_count, use_bias):
+                return QuantConv(
+                    features=filters,
+                    kernel_size=tuple(kernel_size),
+                    strides=tuple(strides),
+                    padding=padding,
+                    mode=self.quant,
+                    kernel_init=nn.initializers.he_normal(),
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                )(x)
         return nn.Conv(
             features=filters,
             kernel_size=tuple(kernel_size),

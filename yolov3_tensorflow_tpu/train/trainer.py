@@ -111,6 +111,8 @@ class YOLOv3Trainer:
         self.tb = TensorBoardWriter(cfg.tensorboard_dir) \
             if enable_tensorboard else None
         self.history = []
+        self._quant = None       # lazily-built PTQ programs (_quant_setup)
+        self._quant_vars = None  # calibrated "quant" collection
 
     # ------------------------------------------------------------------ #
     def steps_for_size(self, input_hw):
@@ -389,18 +391,106 @@ class YOLOv3Trainer:
             self.ckpt.save(step, self.state, force=True)
 
     # ------------------------------------------------------------------ #
-    def predict(self, images) -> tuple:
-        """Raw 3-head outputs for a batch (trainer.py:117-124).  Batches not
-        divisible by the mesh data axis are padded then sliced back."""
+    def _pad_to_mesh(self, images):
         images = jnp.asarray(images)  # uint8 or float; normalized in-step
         n = images.shape[0]
-        d = self.mesh.shape[self.cfg.data_axis]
-        pad = (-n) % d
+        pad = (-n) % self.mesh.shape[self.cfg.data_axis]
         if pad:
             images = jnp.concatenate(
                 [images, jnp.zeros((pad,) + images.shape[1:],
                                    images.dtype)], axis=0)
-        heads = self.forward(self.state, images)
-        if pad:
+        return images, n
+
+    def predict(self, images) -> tuple:
+        """Raw 3-head outputs for a batch (trainer.py:117-124).  Batches not
+        divisible by the mesh data axis are padded then sliced back.
+        With ``cfg.quant == "int8"`` runs the PTQ inference path,
+        auto-calibrating activation scales on the first batch seen."""
+        images, n = self._pad_to_mesh(images)
+        if self.cfg.quant == "int8":
+            if self._quant_vars is None:
+                logging.info("int8 inference: calibrating activation "
+                             "scales on the first batch")
+                self.calibrate(images)
+            heads = self._quant_setup()["forward"](
+                self.state, self._quant_vars, images)
+        else:
+            heads = self.forward(self.state, images)
+        if images.shape[0] != n:
             heads = tuple(h[:n] for h in heads)
         return heads
+
+    # ------------------------------- int8 PTQ inference (ops/quantize) --
+    def _quant_setup(self):
+        """Lazily build the calibration / int8 forward programs.  The
+        train/eval model stays unquantized; these are separate module
+        instances over the SAME params (QuantConv shares nn.Conv's
+        param subtree and name counter)."""
+        if self._quant is not None:
+            return self._quant
+        cfg = self.cfg
+        calib_model = build_detector(cfg, quant="calibrate")
+        int8_model = build_detector(cfg, quant="int8")
+
+        def normalize(images):
+            if jnp.issubdtype(images.dtype, jnp.integer):
+                return images.astype(jnp.float32) * (1.0 / 255.0)
+            return images.astype(jnp.float32)
+
+        def calib_first(state, images):
+            # no "quant" collection yet: mutable apply creates it
+            _, mut = calib_model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                normalize(images), train=False, mutable=["quant"])
+            return mut["quant"]
+
+        def calib_more(state, qvars, images):
+            _, mut = calib_model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats,
+                 "quant": qvars},
+                normalize(images), train=False, mutable=["quant"])
+            return mut["quant"]
+
+        def qforward(state, qvars, images):
+            return int8_model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats,
+                 "quant": qvars},
+                normalize(images), train=False)
+
+        img_shard = image_sharding(self.mesh, cfg.data_axis, cfg.model_axis)
+        repl = replicated(self.mesh)
+        from ..ops.partition import set_op_mesh
+        spatial = self.mesh.shape[cfg.model_axis] > 1
+
+        def with_op_mesh(fn):
+            def wrapped(*a):
+                set_op_mesh(None if spatial else self.mesh, cfg.data_axis)
+                return fn(*a)
+            return wrapped
+
+        self._quant = {
+            "calib_first": with_op_mesh(jax.jit(
+                calib_first, in_shardings=(repl, img_shard),
+                out_shardings=repl)),
+            "calib_more": with_op_mesh(jax.jit(
+                calib_more, in_shardings=(repl, repl, img_shard),
+                out_shardings=repl)),
+            "forward": with_op_mesh(jax.jit(
+                qforward, in_shardings=(repl, repl, img_shard),
+                out_shardings=repl)),
+        }
+        return self._quant
+
+    def calibrate(self, images):
+        """Accumulate int8 activation scales (per-conv input abs-max,
+        running maximum) from a batch; call over a calibration set
+        before quantized inference, or let ``predict`` auto-calibrate
+        on its first batch."""
+        q = self._quant_setup()
+        images, _ = self._pad_to_mesh(images)
+        if self._quant_vars is None:
+            self._quant_vars = q["calib_first"](self.state, images)
+        else:
+            self._quant_vars = q["calib_more"](
+                self.state, self._quant_vars, images)
+        return self._quant_vars
