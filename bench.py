@@ -87,10 +87,13 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    # optional 3rd arg: augment backend A/B (auto | fused | xla)
+    aug_backend = sys.argv[3] if len(sys.argv) > 3 else "auto"
 
     cfg = Config(input_image_size=(416, 416, 3), batch_size=batch,
                  max_boxes=32, model_backbone="resnet-18",
                  optimizer="radam", is_augment=True,
+                 augment_backend=aug_backend,
                  rectified_coord_num=-1, num_devices=1)
     trainer = YOLOv3Trainer(cfg, restore=False,
                             checkpoint_dir=tempfile.mkdtemp())

@@ -194,6 +194,14 @@ class Config:
     # paths; "xla" forces the classic composition; "fused" forces the
     # kernel (tests)
     stem_backend: str = "auto"
+    # Noise stage of the train-step augmentation (ops/augment_noise.py):
+    # "fused" runs uint8-normalize + gaussian + salt-pepper as ONE
+    # Pallas pass with counter-based in-kernel randomness (no threefry
+    # HBM tensors); "xla" is the classic jax.random composition; "auto"
+    # picks fused on TPU for uint8 batches (xla under spatial
+    # partitioning and on CPU).  Color ops always stay in XLA.  The
+    # noise bit-stream differs between backends (same distributions).
+    augment_backend: str = "auto"  # auto | fused | xla
     # Post-training int8 INFERENCE quantization (ops/quantize.py):
     # "int8" runs the measured-eligible early-module convs (both
     # channel counts <= 128, area >= 52^2 — the bandwidth-bound shapes

@@ -67,15 +67,12 @@ def _saturate(img, factor):
     return v + f_px * (img - v)
 
 
-def augment_batch(rng, images):
-    """Augment a (N, H, W, 3) float batch; independent per-image randomness
-    (the map-after-repeat semantics of dataset_util.py:106-115)."""
-    n = images.shape[0]
+def _scalars(rng, n, dtype):
+    """The per-image random scalars + the unconsumed noise keys.  Shared
+    by both noise backends so the scalar stream is identical whichever
+    generates the per-element noise."""
     (k_nt, k_ord, k_b, k_s, k_c, k_gauss, k_sel, k_salt) = \
         jax.random.split(rng, 8)
-    dtype = images.dtype
-
-    # ------------------------------------------------ per-image scalars --
     noise_type = jax.random.randint(k_nt, (n,), 0, 3)  # 0 sp, 1 gauss, 2 no
     order = jax.random.randint(k_ord, (n,), 0, 4)
     b = jax.random.uniform(k_b, (n,), minval=-RANDOM_BRIGHTNESS,
@@ -85,12 +82,37 @@ def augment_batch(rng, images):
     c = jax.random.uniform(k_c, (n,), minval=RANDOM_LOW_CONTRAST,
                            maxval=RANDOM_UP_CONTRAST)
     do_color = order < 3
-    s_eff = jnp.where(do_color, s, 1.0).astype(dtype)[:, None, None]
-    c_eff = jnp.where(do_color, c, 1.0).astype(dtype)[:, None, None, None]
-    pre_b = jnp.where(do_color & (order == 0), b, 0.0).astype(dtype)[
-        :, None, None, None]
-    post_b = jnp.where(do_color & (order != 0), b, 0.0).astype(dtype)[
-        :, None, None, None]
+    color = dict(
+        s_eff=jnp.where(do_color, s, 1.0).astype(dtype)[:, None, None],
+        c_eff=jnp.where(do_color, c, 1.0).astype(dtype)[
+            :, None, None, None],
+        pre_b=jnp.where(do_color & (order == 0), b, 0.0).astype(dtype)[
+            :, None, None, None],
+        post_b=jnp.where(do_color & (order != 0), b, 0.0).astype(dtype)[
+            :, None, None, None])
+    return noise_type, color, (k_gauss, k_sel, k_salt)
+
+
+def _color(x, color):
+    """brightness/saturation/contrast in the canonical collapsed order
+    (header note above); x already noised, same dtype as the scalars."""
+    dtype = x.dtype
+    x = x + color["pre_b"]
+    x = _saturate(x, color["s_eff"])
+    # per-channel spatial mean: accumulate in fp32 even on a bf16 batch
+    # (XLA folds the convert into the reduction — no extra pass)
+    mean = jnp.mean(x.astype(jnp.float32), axis=(1, 2),
+                    keepdims=True).astype(dtype)
+    x = (x - mean) * color["c_eff"] + mean + color["post_b"]
+    return jnp.clip(x, 0.0, 1.0)
+
+
+def augment_batch(rng, images):
+    """Augment a (N, H, W, 3) float batch; independent per-image randomness
+    (the map-after-repeat semantics of dataset_util.py:106-115)."""
+    n = images.shape[0]
+    dtype = images.dtype
+    noise_type, color, (k_gauss, k_sel, k_salt) = _scalars(rng, n, dtype)
 
     # ------------------------------------------------------------ noise --
     gauss_on = (noise_type == 1).astype(dtype)[:, None, None, None]
@@ -103,12 +125,23 @@ def augment_batch(rng, images):
     sel_eff = (sel * sp_on)[..., None]
     x = x * (1.0 - sel_eff) + (salt[..., None] * sel_eff)
 
-    # ------------------------------------------------------------ color --
-    x = x + pre_b
-    x = _saturate(x, s_eff)
-    # per-channel spatial mean: accumulate in fp32 even on a bf16 batch
-    # (XLA folds the convert into the reduction — no extra pass)
-    mean = jnp.mean(x.astype(jnp.float32), axis=(1, 2),
-                    keepdims=True).astype(dtype)
-    x = (x - mean) * c_eff + mean + post_b
-    return jnp.clip(x, 0.0, 1.0)
+    return _color(x, color)
+
+
+def augment_batch_fused(rng, images_u8, dtype):
+    """Fused-noise variant: the Pallas kernel (ops/augment_noise.py)
+    does uint8-normalize + gaussian + salt-pepper in ONE pass with
+    counter-based in-kernel randomness — no threefry HBM tensors; the
+    color chain stays in XLA (cross-lane ops).  Same per-image scalar
+    stream as :func:`augment_batch`; the per-element noise bit-stream
+    differs (same distributions — see the kernel header)."""
+    from ..ops.augment_noise import noisy_normalize
+    n = images_u8.shape[0]
+    dtype = jnp.dtype(dtype)
+    noise_type, color, (k_gauss, _, _) = _scalars(rng, n, dtype)
+    g_std = jnp.where(noise_type == 1, RANDOM_NORMAL, 0.0)
+    p_eff = jnp.where(noise_type == 0, RANDOM_NORMAL, -1.0)
+    seeds = jax.lax.bitcast_convert_type(
+        jax.random.bits(k_gauss, (n,), jnp.uint32), jnp.int32)
+    x = noisy_normalize(images_u8, seeds, g_std, p_eff, out_dtype=dtype)
+    return _color(x, color)

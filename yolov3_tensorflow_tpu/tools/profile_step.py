@@ -12,6 +12,7 @@ Usage:
   python -m yolov3_tensorflow_tpu.tools.profile_step --mode train
       [--batch 128] [--steps 5] [--trace_dir DIR] [--top 30]
       [--conv_backend xla|winograd] [--stem_backend auto|xla|fused]
+      [--augment_backend auto|xla|fused]
   python -m yolov3_tensorflow_tpu.tools.profile_step --mode infer ...
 
 The trace directory is kept (view it with TensorBoard/xprof); the
@@ -26,7 +27,7 @@ import time
 
 
 def _flagship(mode: str, batch: int, conv_backend: str,
-              stem_backend: str):
+              stem_backend: str, augment_backend: str = "auto"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -40,7 +41,7 @@ def _flagship(mode: str, batch: int, conv_backend: str,
                  optimizer="radam", is_augment=True,
                  rectified_coord_num=-1, num_devices=1,
                  conv_backend=conv_backend, stem_backend=stem_backend,
-                 confidence_thresh=0.5)
+                 augment_backend=augment_backend, confidence_thresh=0.5)
     trainer = YOLOv3Trainer(cfg, restore=False,
                             checkpoint_dir=tempfile.mkdtemp())
     rng = np.random.RandomState(0)
@@ -87,6 +88,7 @@ def main(argv=None):
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--conv_backend", default="xla")
     ap.add_argument("--stem_backend", default="auto")
+    ap.add_argument("--augment_backend", default="auto")
     args = ap.parse_args(argv)
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="yolov3_trace_")
 
@@ -94,7 +96,7 @@ def main(argv=None):
                                   trace_steps)
 
     run_steps = _flagship(args.mode, args.batch, args.conv_backend,
-                          args.stem_backend)
+                          args.stem_backend, args.augment_backend)
     run_steps(3)  # compile + warmup
     t0 = time.perf_counter()
     run_steps(args.steps)

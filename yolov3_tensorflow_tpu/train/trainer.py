@@ -30,7 +30,7 @@ import numpy as np
 import optax
 
 from ..config import Config
-from ..data.augment import augment_batch
+from ..data.augment import augment_batch, augment_batch_fused
 from ..models.detector import build_detector
 from ..models.layers import l2_regularization
 from ..ops.loss import YOLOv3Loss
@@ -53,12 +53,15 @@ class YOLOv3Trainer:
             # resolves to the XLA paths and explicit kernel backends
             # are rejected rather than silently replicated
             assert cfg.stem_backend != "fused" and \
-                cfg.conv_backend != "winograd", (
-                    "spatial_partition > 1 requires the XLA conv/stem "
-                    "paths (custom kernels partition over data only)")
+                cfg.conv_backend != "winograd" and \
+                cfg.augment_backend != "fused", (
+                    "spatial_partition > 1 requires the XLA conv/stem/"
+                    "augment paths (custom kernels partition over data "
+                    "only)")
             assert cfg.input_image_size[0] % (8 * cfg.spatial_partition) \
                 == 0, "H must divide 8 * spatial_partition"
-            cfg = cfg.replace(stem_backend="xla", conv_backend="xla")
+            cfg = cfg.replace(stem_backend="xla", conv_backend="xla",
+                              augment_backend="xla")
         self.cfg = cfg
         self.model = build_detector(cfg)
         self.loss_fn = YOLOv3Loss(cfg)
@@ -168,17 +171,42 @@ class YOLOv3Trainer:
                 return images.astype(jnp.float32) * (1.0 / 255.0)
             return images.astype(jnp.float32)
 
+        def _use_fused_augment(images) -> bool:
+            """Static (trace-time) noise-backend choice; mirrors the
+            conv/stem `auto` convention — fused only where it wins
+            (TPU) and is applicable (uint8 batch, packed lanes)."""
+            from ..ops import augment_noise
+            if cfg.augment_backend == "xla" or not cfg.is_augment:
+                return False
+            ok = (images.dtype == jnp.uint8
+                  and augment_noise.supported(images.shape))
+            if cfg.augment_backend == "fused":
+                assert ok, (images.dtype, images.shape)
+                return True
+            # auto: engage on TPU once the end-to-end A/B lands (the
+            # per-shape-winner rule; PERF.md round-4 queue item 2) —
+            # until the kernel has compiled and won on real hardware it
+            # must not carry the default path
+            return False
+
         def train_step(state: TrainState, images, labels):
             key = jax.random.wrap_key_data(state.rng, impl="rbg")
             rng, new_key = jax.random.split(key)
             new_rng = jax.random.key_data(new_key)
-            images = normalize(images)
-            if cfg.is_augment:
+            if cfg.is_augment and _use_fused_augment(images):
+                # one Pallas pass: u8 read -> normalize + noise -> bf16
+                # (ops/augment_noise.py); color stays in XLA below
+                images = augment_batch_fused(
+                    rng, images, jnp.dtype(cfg.compute_dtype))
+            elif cfg.is_augment:
                 # augment in the compute dtype: the chain is ~5 passes over
                 # the full-res batch and purely photometric on 8-bit image
                 # content — bf16 halves its HBM traffic (stats stay fp32)
                 images = augment_batch(
-                    rng, images.astype(jnp.dtype(cfg.compute_dtype)))
+                    rng,
+                    normalize(images).astype(jnp.dtype(cfg.compute_dtype)))
+            else:
+                images = normalize(images)
 
             def compute(params):
                 heads, mut = model.apply(
