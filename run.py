@@ -200,15 +200,26 @@ def main(argv=None):
         test(cfg, trainer)
     elif cfg.mode == "predict":
         predict(cfg, trainer)
-    elif cfg.mode == "save_pb":
-        from yolov3_tensorflow_tpu.infer.export import save_frozen
-        out = save_frozen(trainer, os.path.join(cfg.pb_model_dir,
-                                                cfg.type + ".stablehlo"))
-        logging.info("frozen model saved: %s", out)
-    elif cfg.mode == "save_serving":
-        from yolov3_tensorflow_tpu.infer.export import save_serving
-        out = save_serving(trainer, cfg.serving_model_dir)
-        logging.info("serving model saved: %s", out)
+    elif cfg.mode in ("save_pb", "save_serving"):
+        if cfg.quant == "int8":
+            # bake calibrated activation scales into the exported int8
+            # graph: calibrate on the first test batch
+            from yolov3_tensorflow_tpu.data.loader import Dataset
+            ds = Dataset(cfg, cfg.test_label_path, cfg.test_set_dir,
+                         is_test=True, shuffle=False)
+            batch = next(ds.batches(repeat=False))
+            trainer.calibrate(batch.images)
+            logging.info("int8 export: calibrated on %d test images",
+                         len(batch.paths))
+        if cfg.mode == "save_pb":
+            from yolov3_tensorflow_tpu.infer.export import save_frozen
+            out = save_frozen(trainer, os.path.join(cfg.pb_model_dir,
+                                                    cfg.type + ".stablehlo"))
+            logging.info("frozen model saved: %s", out)
+        else:
+            from yolov3_tensorflow_tpu.infer.export import save_serving
+            out = save_serving(trainer, cfg.serving_model_dir)
+            logging.info("serving model saved: %s", out)
     else:
         raise ValueError("Mode Error!")
 

@@ -167,3 +167,45 @@ def test_model_int8_mesh_matches_single(_quant_trainers):
     for a, b in zip(hs, hm):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-4)
+
+
+def test_quantized_frozen_export_roundtrip(tmp_path):
+    """save_frozen with cfg.quant='int8' bakes the calibrated scales
+    into the exported StableHLO: the reloaded artifact reproduces the
+    live int8 predict path (run.py --mode save_pb --quant int8)."""
+    import json
+    import os
+
+    from yolov3_tensorflow_tpu.config import Config
+    from yolov3_tensorflow_tpu.infer.export import load_frozen, save_frozen
+    from yolov3_tensorflow_tpu.train.trainer import YOLOv3Trainer
+
+    cfg = Config(input_image_size=(224, 224, 3), batch_size=2, max_boxes=4,
+                 num_devices=1, quant="int8", compute_dtype="float32",
+                 stem_backend="xla")
+    trainer = YOLOv3Trainer(cfg, restore=False,
+                            checkpoint_dir=tempfile.mkdtemp())
+    imgs = np.random.RandomState(7).randint(0, 255, (2, 224, 224, 3),
+                                            np.uint8)
+    path = os.path.join(tmp_path, "model.stablehlo")
+    # uncalibrated export must refuse
+    with pytest.raises(AssertionError):
+        save_frozen(trainer, path)
+    trainer.calibrate(imgs)
+    save_frozen(trainer, path, batch_size=2)
+    meta = json.load(open(path + ".json"))
+    assert meta["quant"] == "int8"
+    fn = load_frozen(path)
+    out = fn(imgs.astype(np.float32) / 255.0)  # export takes normalized
+    ref = trainer.predict(imgs)
+    for a, b in zip(out, ref):
+        d = np.abs(np.asarray(a) - np.asarray(b))
+        # the export recompiles the graph with different fusion orders;
+        # f32 ulp differences flip a few activations sitting exactly on
+        # int8 rounding boundaries, and each flip smears one quant step
+        # through downstream receptive fields — inherent to requantized
+        # graphs (measured: ~0.01 max on raw logits = <=0.0025 after
+        # sigmoid, invisible at detection level; the mAP-level gate is
+        # tools/quant_gate.py)
+        assert d.max() < 5e-2, d.max()
+        assert d.mean() < 5e-3, d.mean()

@@ -31,11 +31,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _forward_fn(model, params, batch_stats):
+def _forward_fn(model, params, batch_stats, quant_vars=None):
+    variables = {"params": params, "batch_stats": batch_stats}
+    if quant_vars is not None:
+        variables["quant"] = quant_vars
+
     def forward(images):
-        return model.apply({"params": params, "batch_stats": batch_stats},
-                           images, train=False)
+        return model.apply(variables, images, train=False)
     return forward
+
+
+def _export_model(trainer):
+    """The model + variables the export should freeze: with
+    ``cfg.quant == 'int8'`` the quantized inference graph (calibrated
+    scales baked in as constants — serve exactly what was measured by
+    tools/quant_gate.py), else the plain bf16/f32 forward."""
+    if trainer.cfg.quant == "int8":
+        assert trainer._quant_vars is not None, (
+            "quant='int8' export needs calibrated activation scales: "
+            "run trainer.calibrate(batch) (or one predict) first")
+        from ..models.detector import build_detector
+        return (build_detector(trainer.cfg, quant="int8"),
+                trainer._quant_vars)
+    return trainer.model, None
 
 
 def save_frozen(trainer, path: str, batch_size: Optional[int] = None):
@@ -43,8 +61,9 @@ def save_frozen(trainer, path: str, batch_size: Optional[int] = None):
     cfg = trainer.cfg
     h, w, c = cfg.input_image_size
     n = batch_size or 1
-    fn = _forward_fn(trainer.model, trainer.state.params,
-                     trainer.state.batch_stats)
+    model, qvars = _export_model(trainer)
+    fn = _forward_fn(model, trainer.state.params,
+                     trainer.state.batch_stats, qvars)
     exported = jax.export.export(jax.jit(fn))(
         jax.ShapeDtypeStruct((n, h, w, c), jnp.float32))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -55,6 +74,7 @@ def save_frozen(trainer, path: str, batch_size: Optional[int] = None):
                   "dtype": "float32"},
         "outputs": list(cfg.head_names),
         "backbone": cfg.model_backbone,
+        "quant": cfg.quant,
     }
     with open(path + ".json", "w") as f:
         json.dump(meta, f, indent=2)
