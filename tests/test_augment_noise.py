@@ -26,6 +26,13 @@ def _imgs(n, h, w, seed=0):
         0, 256, (n, h, w, 3), np.uint8))
 
 
+def _seeds2(*vals):
+    """(N, 2) int32 seed pairs from scalars (second word derived)."""
+    v = np.asarray(vals, np.int64)
+    return jnp.asarray(np.stack([v, v * 7919 + 13], axis=1)
+                       .astype(np.int32))
+
+
 def test_ndtri_matches_jax_scipy():
     from jax.scipy.special import ndtri as ref
     u = jnp.asarray(np.linspace(2e-25, 1 - 1e-7, 4001), jnp.float32)
@@ -35,7 +42,7 @@ def test_ndtri_matches_jax_scipy():
 
 def test_noise_off_is_exact_normalize():
     img = _imgs(2, 32, 32)
-    out = noisy_normalize(img, jnp.asarray([3, 7], jnp.int32),
+    out = noisy_normalize(img, _seeds2(3, 7),
                           jnp.zeros(2), -jnp.ones(2),
                           out_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out),
@@ -45,7 +52,7 @@ def test_noise_off_is_exact_normalize():
 
 def test_gaussian_noise_distribution():
     img = _imgs(2, 64, 64)
-    out = noisy_normalize(img, jnp.asarray([3, 7], jnp.int32),
+    out = noisy_normalize(img, _seeds2(3, 7),
                           0.01 * jnp.ones(2), -jnp.ones(2),
                           out_dtype=jnp.float32)
     d = np.asarray(out) - np.asarray(img, np.float32) / 255.0
@@ -58,7 +65,7 @@ def test_salt_pepper_is_per_pixel():
     """Select/salt masks are channel-shared (reference per-pixel masks,
     dataset_util.py:36-43) and hit the requested density."""
     img = _imgs(3, 64, 64, seed=1)
-    seeds = jnp.asarray([11, 22, 33], jnp.int32)
+    seeds = _seeds2(11, 22, 33)
     out = noisy_normalize(img, seeds, jnp.zeros(3), 0.5 * jnp.ones(3),
                           out_dtype=jnp.float32)
     ref = np.asarray(img, np.float32) / 255.0
@@ -82,7 +89,7 @@ def test_chunk_grid_invariance(monkeypatch):
     """The global-index counter hash makes the output independent of the
     grid chunking (pixels straddle chunk boundaries: RB*128 % 3 != 0)."""
     img = _imgs(1, 48, 64, seed=2)  # R = 48*64*3/128 = 72 rows
-    seeds = jnp.asarray([5], jnp.int32)
+    seeds = _seeds2(5)
     args = (seeds, 0.01 * jnp.ones(1), jnp.asarray([0.01]))
     whole = noisy_normalize(img, *args, out_dtype=jnp.float32)
     monkeypatch.setattr(augment_noise, "_MAX_ROWS", 9)  # 72 -> 8 chunks
@@ -110,7 +117,7 @@ def test_mesh_partitioning_matches_single_device():
     from yolov3_tensorflow_tpu.ops.partition import set_op_mesh
     from yolov3_tensorflow_tpu.parallel.mesh import make_mesh
     img = _imgs(8, 32, 32, seed=4)
-    seeds = jnp.asarray(np.arange(8), jnp.int32)
+    seeds = _seeds2(*range(8))
     args = (seeds, 0.01 * jnp.ones(8), jnp.asarray([0.01] * 8))
     single = noisy_normalize(img, *args, out_dtype=jnp.float32)
     mesh = make_mesh(8)

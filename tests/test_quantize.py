@@ -209,3 +209,26 @@ def test_quantized_frozen_export_roundtrip(tmp_path):
         # tools/quant_gate.py)
         assert d.max() < 5e-2, d.max()
         assert d.mean() < 5e-3, d.mean()
+
+
+def test_int8_noop_when_no_conv_eligible():
+    """A configuration where NO conv passes the eligibility gate (64x64
+    input: m1 area 16^2 < 52^2) must not crash — calibration yields an
+    empty quant collection and predict falls back to the plain forward
+    (review finding: flax returns {} for an untouched mutable
+    collection)."""
+    from yolov3_tensorflow_tpu.config import Config
+    from yolov3_tensorflow_tpu.train.trainer import YOLOv3Trainer
+
+    cfg = Config(input_image_size=(64, 64, 3), batch_size=4, max_boxes=4,
+                 num_devices=1, quant="int8", compute_dtype="float32",
+                 stem_backend="xla")
+    tr = YOLOv3Trainer(cfg, restore=False,
+                       checkpoint_dir=tempfile.mkdtemp())
+    imgs = np.random.RandomState(9).randint(0, 255, (4, 64, 64, 3),
+                                            np.uint8)
+    heads = tr.predict(imgs)  # auto-calibrates; must not KeyError
+    assert tr._quant_vars == {}
+    ref = tr.forward(tr.state, jnp.asarray(imgs))
+    for a, b in zip(heads, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

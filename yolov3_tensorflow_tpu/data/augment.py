@@ -141,7 +141,9 @@ def augment_batch_fused(rng, images_u8, dtype):
     noise_type, color, (k_gauss, _, _) = _scalars(rng, n, dtype)
     g_std = jnp.where(noise_type == 1, RANDOM_NORMAL, 0.0)
     p_eff = jnp.where(noise_type == 0, RANDOM_NORMAL, -1.0)
+    # 64 bits of seed per image: a single 32-bit seed would birthday-
+    # collide whole per-image noise fields after ~2^16 images
     seeds = jax.lax.bitcast_convert_type(
-        jax.random.bits(k_gauss, (n,), jnp.uint32), jnp.int32)
+        jax.random.bits(k_gauss, (n, 2), jnp.uint32), jnp.int32)
     x = noisy_normalize(images_u8, seeds, g_std, p_eff, out_dtype=dtype)
     return _color(x, color)

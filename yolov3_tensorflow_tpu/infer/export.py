@@ -33,7 +33,7 @@ import numpy as np
 
 def _forward_fn(model, params, batch_stats, quant_vars=None):
     variables = {"params": params, "batch_stats": batch_stats}
-    if quant_vars is not None:
+    if quant_vars:  # empty == no gate-eligible convs == plain graph
         variables["quant"] = quant_vars
 
     def forward(images):

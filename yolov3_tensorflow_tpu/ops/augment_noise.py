@@ -139,7 +139,8 @@ def _kernel(seed_ref, scal_ref, img_ref, out_ref, *, RB, out_dtype):
     (g_std = 0.01 when this image draws gaussian noise else 0;
     p_eff = 0.01 when it draws salt-pepper else -1 = never)."""
     c = pl.program_id(1)
-    seed = seed_ref[0, 0]
+    s0 = seed_ref[0, 0]
+    s1 = seed_ref[0, 1]
     g_std = scal_ref[0, 0]
     p_eff = scal_ref[0, 1]
 
@@ -150,13 +151,15 @@ def _kernel(seed_ref, scal_ref, img_ref, out_ref, *, RB, out_dtype):
     e = rows * 128 + lanes  # global element index (chunk-independent)
 
     # gaussian: per-ELEMENT counter hash -> uniform -> inverse CDF.
-    # Seed ADDED between avalanche rounds (not XORed into the counter:
-    # xor only permutes one fixed value set across seeds)
-    hg = _mix(_mix(e) + seed + jnp.int32(0x68bc21eb))
+    # The 64-bit per-image seed (s0, s1) is ADDED between avalanche
+    # rounds (xor would only permute one fixed value set across seeds;
+    # a single 32-bit seed would birthday-collide whole noise fields
+    # after ~2^16 images)
+    hg = _mix(_mix(_mix(e) + s0 + jnp.int32(0x68bc21eb)) + s1)
     x = x + g_std * _ndtri(_u01(hg))
 
     # salt-pepper: per-PIXEL hash (a pixel's 3 elements share e // 3)
-    h = _mix(_mix(e // 3) + seed)
+    h = _mix(_mix(_mix(e // 3) + s0) + s1)
     sel = _u01(h) < p_eff
     salt = (h & 1).astype(jnp.float32)
     x = jnp.where(sel, salt, x)
@@ -171,7 +174,7 @@ def _invoke(images, seeds, scal, R, RB, out_dtype, interpret):
         kernel,
         grid=(N, R // RB),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda n, c: (n, 0),
+            pl.BlockSpec((1, 2), lambda n, c: (n, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2), lambda n, c: (n, 0),
                          memory_space=pltpu.SMEM),
@@ -181,19 +184,20 @@ def _invoke(images, seeds, scal, R, RB, out_dtype, interpret):
         out_shape=jax.ShapeDtypeStruct((N, R, 128), out_dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(seeds.reshape(N, 1), scal, images.reshape(N, R, 128))
+    )(seeds, scal, images.reshape(N, R, 128))
 
 
 def noisy_normalize(images, seeds, g_std, p_eff,
                     out_dtype=jnp.bfloat16, interpret=None):
     """uint8 (N, H, W, 3) -> noised normalized (N, H, W, 3) in one pass.
 
-    seeds: (N,) int32 per-image PRNG seeds; g_std / p_eff: (N,) f32
-    per-image gaussian stddev (0 = off) and salt-pepper select
+    seeds: (N, 2) int32 per-image 64-bit PRNG seeds; g_std / p_eff:
+    (N,) f32 per-image gaussian stddev (0 = off) and salt-pepper select
     probability (negative = off).  Partitions over the registered op
     mesh's data axis (every operand is per-image)."""
     N, H, W, C = images.shape
     assert images.dtype == jnp.uint8, images.dtype
+    assert seeds.shape == (N, 2), seeds.shape
     total = H * W * C
     assert total % 128 == 0, images.shape
     R = total // 128

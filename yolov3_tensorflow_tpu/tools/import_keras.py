@@ -39,7 +39,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import copy
 import os
 import sys
 
@@ -67,8 +66,11 @@ def import_keras_weights(keras_model, ref, params, stats):
     are guarded per index against the flax trees."""
     import tensorflow as tf
 
-    params = copy.deepcopy(jax_to_np(params))
-    stats = copy.deepcopy(jax_to_np(stats))
+    # jax_to_np rebuilds every dict container (fresh tree), so leaf
+    # re-binding below never mutates the caller's trees; the arrays
+    # themselves are read-only here — no deep copy needed
+    params = jax_to_np(params)
+    stats = jax_to_np(stats)
     bb_p = params["backbone"]
     bb_s = stats["backbone"]["backbone"] \
         if "backbone" in stats["backbone"] else stats["backbone"]
@@ -178,9 +180,13 @@ def main(argv=None):
     params, stats = import_keras_weights(
         keras_model, ref, jax.tree.map(np.asarray, trainer.state.params),
         jax.tree.map(np.asarray, trainer.state.batch_stats))
-    state = trainer.state.replace(params=params, batch_stats=stats)
-    trainer.ckpt.save(0, state, force=True)  # save() waits internally
-    print(f"imported checkpoint written to {a.out} (step 0, fresh "
+    # step 1, not 0: downstream tools assert state.step > 0 as their
+    # "a checkpoint actually restored" check (quant_gate, map_parity)
+    state = trainer.state.replace(
+        params=params, batch_stats=stats,
+        step=jax.numpy.ones_like(trainer.state.step))
+    trainer.ckpt.save(1, state, force=True)  # save() waits internally
+    print(f"imported checkpoint written to {a.out} (step 1, fresh "
           f"optimizer state) — resume with YOLOv3Trainer(restore=True, "
           f"checkpoint_dir=...) or run.py --checkpoint_dir {a.out}")
     return 0

@@ -42,6 +42,16 @@ from .optimizers import make_optimizer
 from .state import TrainState
 
 
+def _normalize_images(images):
+    """uint8 batches are normalized on-device (1/255, like the
+    reference's convert_image_dtype, file_util.py:58).  Single source
+    of truth — the train/eval/forward steps AND the quantized
+    calibration/inference programs must normalize identically."""
+    if jnp.issubdtype(images.dtype, jnp.integer):
+        return images.astype(jnp.float32) * (1.0 / 255.0)
+    return images.astype(jnp.float32)
+
+
 class YOLOv3Trainer:
 
     def __init__(self, cfg: Config, mesh=None, restore: bool = True,
@@ -163,13 +173,7 @@ class YOLOv3Trainer:
 
     def _compile_steps(self, cfg, loss_fn):
         model, tx, schedule = self.model, self.tx, self.schedule
-
-        def normalize(images):
-            """uint8 batches are normalized on-device (1/255, like the
-            reference's convert_image_dtype, file_util.py:58)."""
-            if jnp.issubdtype(images.dtype, jnp.integer):
-                return images.astype(jnp.float32) * (1.0 / 255.0)
-            return images.astype(jnp.float32)
+        normalize = _normalize_images
 
         def _use_fused_augment(images) -> bool:
             """Static (trace-time) noise-backend choice; mirrors the
@@ -253,20 +257,7 @@ class YOLOv3Trainer:
         img_shard = image_sharding(self.mesh, self.cfg.data_axis,
                                    self.cfg.model_axis)
         repl = replicated(self.mesh)
-
-        def with_op_mesh(fn):
-            """Re-register this trainer's mesh with the Pallas ops right
-            before each call: registration is read at TRACE time, and a
-            process can hold trainers with different meshes (tests)."""
-            from ..ops.partition import set_op_mesh
-            spatial = self.mesh.shape[self.cfg.model_axis] > 1
-
-            def wrapped(*a):
-                set_op_mesh(None if spatial else self.mesh,
-                            self.cfg.data_axis)
-                return fn(*a)
-            wrapped.lower = fn.lower  # keep jit's AOT surface (_model_structure)
-            return wrapped
+        with_op_mesh = self._with_op_mesh
 
         return (
             with_op_mesh(jax.jit(
@@ -429,6 +420,20 @@ class YOLOv3Trainer:
                                    images.dtype)], axis=0)
         return images, n
 
+    def _with_op_mesh(self, fn):
+        """Re-register this trainer's mesh with the Pallas ops right
+        before each call: registration is read at TRACE time, and a
+        process can hold trainers with different meshes (tests)."""
+        from ..ops.partition import set_op_mesh
+        spatial = self.mesh.shape[self.cfg.model_axis] > 1
+
+        def wrapped(*a):
+            set_op_mesh(None if spatial else self.mesh,
+                        self.cfg.data_axis)
+            return fn(*a)
+        wrapped.lower = fn.lower  # keep jit's AOT surface (_model_structure)
+        return wrapped
+
     def predict(self, images) -> tuple:
         """Raw 3-head outputs for a batch (trainer.py:117-124).  Batches not
         divisible by the mesh data axis are padded then sliced back.
@@ -440,8 +445,13 @@ class YOLOv3Trainer:
                 logging.info("int8 inference: calibrating activation "
                              "scales on the first batch")
                 self.calibrate(images)
-            heads = self._quant_setup()["forward"](
-                self.state, self._quant_vars, images)
+            if self._quant_vars:
+                heads = self._quant_setup()["forward"](
+                    self.state, self._quant_vars, images)
+            else:
+                # no conv passed the eligibility gate at this input
+                # size/backbone: int8 is a no-op, run the plain forward
+                heads = self.forward(self.state, images)
         else:
             heads = self.forward(self.state, images)
         if images.shape[0] != n:
@@ -459,18 +469,18 @@ class YOLOv3Trainer:
         cfg = self.cfg
         calib_model = build_detector(cfg, quant="calibrate")
         int8_model = build_detector(cfg, quant="int8")
-
-        def normalize(images):
-            if jnp.issubdtype(images.dtype, jnp.integer):
-                return images.astype(jnp.float32) * (1.0 / 255.0)
-            return images.astype(jnp.float32)
+        normalize = _normalize_images
 
         def calib_first(state, images):
-            # no "quant" collection yet: mutable apply creates it
+            # no "quant" collection yet: mutable apply creates it.  A
+            # configuration where NO conv passes the eligibility gate
+            # (e.g. small inputs, or a backbone without 3x3/s1 convs)
+            # mutates nothing and flax returns {} — quantized inference
+            # is then a documented no-op (predict falls back)
             _, mut = calib_model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 normalize(images), train=False, mutable=["quant"])
-            return mut["quant"]
+            return mut.get("quant", {})
 
         def calib_more(state, qvars, images):
             _, mut = calib_model.apply(
@@ -487,14 +497,7 @@ class YOLOv3Trainer:
 
         img_shard = image_sharding(self.mesh, cfg.data_axis, cfg.model_axis)
         repl = replicated(self.mesh)
-        from ..ops.partition import set_op_mesh
-        spatial = self.mesh.shape[cfg.model_axis] > 1
-
-        def with_op_mesh(fn):
-            def wrapped(*a):
-                set_op_mesh(None if spatial else self.mesh, cfg.data_axis)
-                return fn(*a)
-            return wrapped
+        with_op_mesh = self._with_op_mesh
 
         self._quant = {
             "calib_first": with_op_mesh(jax.jit(
@@ -518,7 +521,13 @@ class YOLOv3Trainer:
         images, _ = self._pad_to_mesh(images)
         if self._quant_vars is None:
             self._quant_vars = q["calib_first"](self.state, images)
-        else:
+            if not self._quant_vars:
+                logging.warning(
+                    "quant='int8': no conv passes the eligibility gate "
+                    "at input %s / backbone %s — quantized inference "
+                    "is a no-op (plain forward)", self.cfg.
+                    input_image_size, self.cfg.model_backbone)
+        elif self._quant_vars:
             self._quant_vars = q["calib_more"](
                 self.state, self._quant_vars, images)
         return self._quant_vars
