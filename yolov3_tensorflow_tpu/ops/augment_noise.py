@@ -52,12 +52,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .partition import get_op_mesh
-
-try:  # jax >= 0.5 stabilized name
-    from jax import shard_map as _shard_map
-except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map as _shard_map
+from .partition import get_op_mesh, shard_map_nocheck
 
 _VMEM_LIMIT = 100 * 1024 * 1024
 # rows (of 128 lanes) per grid chunk: 2048*128*4B = 1 MiB per live f32
@@ -135,7 +130,8 @@ def _mix(h):
 def _kernel(seed_ref, scal_ref, img_ref, out_ref, *, RB, out_dtype):
     """Grid step (n, c): rows c*RB .. c*RB+RB-1 of image n.
 
-    seed_ref (1,1) int32 SMEM; scal_ref (1,2) f32 SMEM = [g_std, p_eff]
+    seed_ref (1,2) int32 SMEM (two words of the 64-bit per-batch seed,
+    both mixed into the hash); scal_ref (1,2) f32 SMEM = [g_std, p_eff]
     (g_std = 0.01 when this image draws gaussian noise else 0;
     p_eff = 0.01 when it draws salt-pepper else -1 = never)."""
     c = pl.program_id(1)
@@ -215,7 +211,8 @@ def noisy_normalize(images, seeds, g_std, p_eff,
         mesh, axis = ms
         from jax.sharding import PartitionSpec as P
         spec = P(axis)
-        invoke = _shard_map(invoke, mesh=mesh, in_specs=(spec, spec, spec),
-                            out_specs=spec, check_vma=False)
+        invoke = shard_map_nocheck(invoke, mesh=mesh,
+                                   in_specs=(spec, spec, spec),
+                                   out_specs=spec)
     out = invoke(images, seeds, scal)
     return out.reshape(N, H, W, C)

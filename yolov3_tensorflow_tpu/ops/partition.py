@@ -28,9 +28,20 @@ import jax
 from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # jax >= 0.5 stabilized name
-    from jax import shard_map as _shard_map
+    from jax import shard_map as _jax_shard_map
+    _CHECK_KW = "check_vma"
 except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map as _shard_map
+    from jax.experimental.shard_map import shard_map as _jax_shard_map
+    _CHECK_KW = "check_rep"  # the experimental signature's name
+
+
+def shard_map_nocheck(f, *, mesh, in_specs, out_specs):
+    """``shard_map`` with replication checking off, normalized across
+    jax versions (the stable API takes ``check_vma``, the older
+    experimental one ``check_rep``).  All Pallas-op partitioning in
+    this package must go through here so a version fix lands once."""
+    return _jax_shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, **{_CHECK_KW: False})
 
 _OP_MESH: Optional[Tuple[Mesh, str]] = None
 
@@ -81,5 +92,5 @@ def lane_sharded_call(invoke, args, arg_ranks_sharded, out_ranks_sharded):
     out_specs = tuple(spec(r, True) for r in out_ranks_sharded)
     if len(out_specs) == 1:
         out_specs = out_specs[0]
-    return _shard_map(invoke, mesh=mesh, in_specs=in_specs,
-                      out_specs=out_specs, check_vma=False)(*args)
+    return shard_map_nocheck(invoke, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs)(*args)

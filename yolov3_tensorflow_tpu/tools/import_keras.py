@@ -46,8 +46,10 @@ import numpy as np
 
 
 def _tests_module():
-    sys.path.insert(0, os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__)))))
+    root = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    if root not in sys.path:
+        sys.path.insert(0, root)
     from tests import test_parity_e2e
     return test_parity_e2e
 
@@ -177,9 +179,10 @@ def main(argv=None):
           f"({len(keras_model.layers)} layers)")
 
     trainer = YOLOv3Trainer(cfg, restore=False, checkpoint_dir=a.out)
+    # import_keras_weights' jax_to_np pass already rebuilds both trees
+    # as fresh numpy containers — pass the state trees directly
     params, stats = import_keras_weights(
-        keras_model, ref, jax.tree.map(np.asarray, trainer.state.params),
-        jax.tree.map(np.asarray, trainer.state.batch_stats))
+        keras_model, ref, trainer.state.params, trainer.state.batch_stats)
     # step 1, not 0: downstream tools assert state.step > 0 as their
     # "a checkpoint actually restored" check (quant_gate, map_parity)
     state = trainer.state.replace(
