@@ -78,6 +78,7 @@ def test_eligibility_gate_is_the_measured_table():
     assert not quant_eligible((b, 104, 104, 64), 64, feature_group_count=64)
     assert not quant_eligible((b, 104, 104, 64), 64, use_bias=True)
     assert not quant_eligible((b, 26, 26, 64), 64)        # area too small
+    assert not quant_eligible((b, 104, 104, 64), 64, padding="VALID")
 
 
 def test_quantconv_calibrate_and_int8_modes():
@@ -232,3 +233,31 @@ def test_int8_noop_when_no_conv_eligible():
     ref = tr.forward(tr.state, jnp.asarray(imgs))
     for a, b in zip(heads, ref):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_quantized_serving_export_manifests(_quant_trainers, tmp_path):
+    """save_serving with quant='int8' must ship a reconstructable model:
+    weights.pkl carries the calibrated 'quant' collection (the frozen
+    graph is fixed at batch 1; any other batch size rebuilds from the
+    weights and needs the SAME calibration the gate measured), and
+    signature.json records the serialized callable's exact [1,h,w,c]
+    aval."""
+    import os
+    import pickle
+
+    from yolov3_tensorflow_tpu.infer.export import save_serving
+
+    tr = _quant_trainers["single"]
+    if tr._quant_vars is None:
+        imgs = np.random.RandomState(8).randint(0, 255, (8, 224, 224, 3),
+                                                np.uint8)
+        tr.calibrate(imgs)
+    d = str(tmp_path / "serving")
+    save_serving(tr, d)
+    weights = pickle.load(open(os.path.join(d, "weights.pkl"), "rb"))
+    assert "quant" in weights, sorted(weights)
+    assert weights["quant"].keys() == tr._quant_vars.keys()
+    import json
+    sig = json.load(open(os.path.join(d, "signature.json")))
+    assert sig["inputs"]["images"] == [1, 224, 224, 3]
+    assert sig["quant"] == "int8"

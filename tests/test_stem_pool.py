@@ -151,3 +151,32 @@ def test_tie_splitting_conserves_gradient():
     np.testing.assert_allclose(np.asarray(dshift),
                                np.full((C,), H // 2 * W // 2 * N),
                                rtol=1e-3)
+
+
+def test_zero_inv_channel_gradients_finite():
+    """gamma underflowing to exactly 0 (inv == 0) must not NaN the
+    gradients: dinv's (p - shift)/inv reconstruction divides by inv,
+    and the unguarded 0/0 would poison every parameter on the next
+    optimizer step.  The guarded backward returns dinv = 0 for that
+    channel (the y-dependence is unrecoverable and the primal is
+    constant in it to first order) and keeps dy/dshift exact."""
+    H, W, C, N = 16, 8, 8, 4
+    y = unique_input(H, W, C, N, seed=7).astype(jnp.float32)
+    inv = jnp.asarray(np.r_[0.0, np.random.RandomState(3).rand(C - 1) + 0.5],
+                      jnp.float32)
+    shift = jnp.asarray(np.random.RandomState(4).randn(C) * 0.3, jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(5), (H // 2, W // 2, C, N))
+
+    def loss(y, inv, shift):
+        return jnp.sum(bn_pool_relu(y, inv, shift).astype(jnp.float32) * g)
+
+    dy, dinv, dshift = jax.grad(loss, argnums=(0, 1, 2))(y, inv, shift)
+    for name, t in (("dy", dy), ("dinv", dinv), ("dshift", dshift)):
+        assert bool(jnp.all(jnp.isfinite(t))), name
+    assert float(dinv[0]) == 0.0
+    # the healthy channels still match autodiff of the classic form
+    gr = jax.grad(lambda *a: jnp.sum(
+        classic(*a).astype(jnp.float32) * g), argnums=1)(y, inv, shift)
+    sc = float(jnp.max(jnp.abs(gr))) + 1e-6
+    np.testing.assert_allclose(np.asarray(dinv[1:]) / sc,
+                               np.asarray(gr[1:]) / sc, atol=5e-2)

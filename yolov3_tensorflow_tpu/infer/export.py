@@ -92,17 +92,28 @@ def save_serving(trainer, directory: str):
     """Serving-directory export (save_serving analog): weights + signature
     + serialized graph."""
     os.makedirs(directory, exist_ok=True)
-    # weights (host numpy pytree, device-agnostic)
-    weights = jax.tree.map(lambda x: np.asarray(x),
-                           {"params": trainer.state.params,
-                            "batch_stats": trainer.state.batch_stats})
+    # weights (host numpy pytree, device-agnostic).  Include the
+    # calibrated quant scales when exporting an int8 model: the frozen
+    # graph is fixed at batch 1, so a consumer rebuilding at another
+    # batch size from weights.pkl must get the SAME calibration the
+    # gate measured, not an uncalibrated (garbage-clipping) model.
+    _, qvars = _export_model(trainer)
+    tree = {"params": trainer.state.params,
+            "batch_stats": trainer.state.batch_stats}
+    if qvars:
+        tree["quant"] = qvars
+    weights = jax.tree.map(lambda x: np.asarray(x), tree)
     with open(os.path.join(directory, "weights.pkl"), "wb") as f:
         pickle.dump(weights, f)
     save_frozen(trainer, os.path.join(directory, "model.stablehlo"))
+    h, w, c = trainer.cfg.input_image_size
     sig = {
         "signature": "predict",
-        "inputs": {"images": list(map(int, trainer.cfg.input_image_size))},
+        # the serialized callable's exact aval (jax.export fixes the
+        # batch dim; keep this in lockstep with save_frozen's default)
+        "inputs": {"images": [1, int(h), int(w), int(c)]},
         "outputs": list(trainer.cfg.head_names),
+        "quant": trainer.cfg.quant,
     }
     with open(os.path.join(directory, "signature.json"), "w") as f:
         json.dump(sig, f, indent=2)

@@ -297,7 +297,7 @@ class BasicBackbone(nn.Module):
         if self.quant != "none":
             from ..ops.quantize import quant_eligible
             if quant_eligible(x.shape, filters, kernel_size, strides,
-                              feature_group_count, use_bias):
+                              feature_group_count, use_bias, padding):
                 return QuantConv(
                     features=filters,
                     kernel_size=tuple(kernel_size),

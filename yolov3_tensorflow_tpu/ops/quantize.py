@@ -38,7 +38,8 @@ QUANT_MIN_PIXELS = 52 * 52
 
 
 def quant_eligible(in_shape, filters, kernel_size=(3, 3), strides=(1, 1),
-                   feature_group_count=1, use_bias=False) -> bool:
+                   feature_group_count=1, use_bias=False,
+                   padding="SAME") -> bool:
     """Should this conv run int8 in quantized inference?  ``in_shape``
     is the NHWC input shape."""
     _, h, w, c = in_shape
@@ -46,6 +47,7 @@ def quant_eligible(in_shape, filters, kernel_size=(3, 3), strides=(1, 1),
             and tuple(strides) == (1, 1)
             and feature_group_count == 1
             and not use_bias
+            and isinstance(padding, str) and padding.upper() == "SAME"
             and c <= QUANT_MAX_CHANNELS
             and filters <= QUANT_MAX_CHANNELS
             and h * w >= QUANT_MIN_PIXELS)

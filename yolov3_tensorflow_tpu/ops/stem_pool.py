@@ -374,8 +374,14 @@ def _vjp_bwd(res, dp):
     idx, p, inv, shift, ymeta = res
     dy, s2 = _bwd(idx, dp.astype(jnp.bfloat16), p, inv, shift)
     dshift = s2[0].sum(-1)
-    # s2[1] = sum dp_active * (p - shift) = dinv * inv
-    dinv = s2[1].sum(-1) / inv
+    # s2[1] = sum dp_active * (p - shift) = dinv * inv.  Guard the
+    # exact-zero channel (gamma underflowed to 0): s2[1] is then 0 too
+    # (y*0+shift is constant, so either p-shift == 0 or relu is
+    # inactive) and the unguarded 0/0 would pump NaN into every param
+    # on the next optimizer step — same guard class as the decode
+    # sigmoid/exp clamps (CLAUDE.md stability invariants).
+    safe_inv = jnp.where(inv == 0, jnp.ones_like(inv), inv)
+    dinv = jnp.where(inv == 0, 0.0, s2[1].sum(-1) / safe_inv)
     return (dy.astype(ymeta.dtype), dinv.astype(inv.dtype),
             dshift.astype(shift.dtype))
 

@@ -173,12 +173,14 @@ def eligible(shape_nhwc, co, kernel_size, strides, padding,
     # (dy + y streams, 3 main-row epilogue streams, dye write) kernels
     # must both fit VMEM
     fwd_ok = pick_wchunk(w, c, co, n, full_streams=2, aux=1) is not None
-    bwd_ok = pick_wchunk(w, co, c, n, full_streams=2, main_streams=3,
+    # bwd: 3 main-row epilogue streams + the EPI_BN_ADD identity-
+    # cotangent output (cmain-sized) = 4
+    bwd_ok = pick_wchunk(w, co, c, n, full_streams=2, main_streams=4,
                          aux=1) is not None
     return fwd_ok and bwd_ok
 
 
-def _kernel(*refs, H, W, C, Co, N, WB, pro, epi, aux, f32_dot=False):
+def _kernel(*refs, H, W, C, Co, N, WB, pro, epi, aux):
     """Grid step (w, s): computes output tile-rows s*RB .. s*RB+RB-1 of
     W-chunk w.  Input rows arrive via three aligned streams — the
     previous pair (top halo), RB main pairs, and the next pair (bottom
@@ -451,11 +453,8 @@ def winograd_call(xt, u, partner=None, cvals=None, avals=None,
                                               dvals))
                      + [False]
                      + [False] * sum(t is not None for t in (scal, scal2)))
-        n_out = (1 + (1 if epi != EPI_NONE else 0) + (1 if aux else 0)
-                 + (1 if epi == EPI_BN_ADD else 0))
-        out_ranks = [4, 3, 4, 4][:1] + ([3] if epi != EPI_NONE else []) \
+        out_ranks = [4] + ([3] if epi != EPI_NONE else []) \
             + ([4] if aux else []) + ([4] if epi == EPI_BN_ADD else [])
-        del n_out
 
         def invoke(*local):
             it = iter(local)
@@ -480,8 +479,12 @@ def winograd_call(xt, u, partner=None, cvals=None, avals=None,
     n_main = ((1 if cvals is not None else 0)
               + (1 if avals is not None else 0)
               + (1 if dvals is not None else 0))
+    # EPI_BN_ADD appends a second full-size output-domain stream (out3,
+    # the identity cotangent) with cmain's exact footprint formula —
+    # count it or the budget gate under-estimates by ~one output stream
     wb = pick_wchunk(W, C, Co, N, full_streams=n_full,
-                     main_streams=n_main, aux=1 if aux else 0)
+                     main_streams=n_main + (1 if epi == EPI_BN_ADD else 0),
+                     aux=1 if aux else 0)
     assert wb is not None, (H, W, C, Co, N)
     TR = (H + 1) // 2
     npairs = TR
@@ -578,7 +581,7 @@ def winograd_call(xt, u, partner=None, cvals=None, avals=None,
 
     res = pl.pallas_call(
         functools.partial(_kernel, H=H, W=W, C=C, Co=Co, N=N, WB=wb,
-                          pro=pro, epi=epi, aux=aux, f32_dot=interpret),
+                          pro=pro, epi=epi, aux=aux),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
