@@ -74,40 +74,12 @@ def train(cfg, trainer):
 def test(cfg, trainer):
     """Batch evaluation + visualization + in-repo mAP (run.py:41-80)."""
     from yolov3_tensorflow_tpu.data.loader import Dataset
-    from yolov3_tensorflow_tpu.infer.evaluator import (
-        detections_to_eval_format, evaluate_map, labels_to_eval_format)
-    from yolov3_tensorflow_tpu.infer.postprocess import (
-        YOLOv3PostProcessor, resize_boxes, visualize)
+    from yolov3_tensorflow_tpu.infer.evaluator import score_dataset
 
     ds = Dataset(cfg, cfg.test_label_path, cfg.test_set_dir, is_test=True,
                  shuffle=False)
-    post = YOLOv3PostProcessor(cfg)
-    input_box_size = np.array([cfg.input_image_size[1],
-                               cfg.input_image_size[0]] * 2, np.float64)
-    all_dets, all_gts = [], []
-    seen = set()  # the loader wraps partial batches for static shapes;
-    # don't double-count the wrapped duplicates in the metric
-    if cfg.save_path:
-        os.makedirs(cfg.save_path, exist_ok=True)
-    for batch in ds.batches(repeat=False):
-        heads = trainer.predict(batch.images)
-        per_image = post.process(heads)
-        for img, labels, path, head_boxes in zip(
-                batch.images_float(), batch.labels, batch.paths, per_image):
-            if path in seen:
-                continue
-            seen.add(path)
-            in_boxes = resize_boxes(head_boxes, input_box_size)
-            if cfg.save_path:
-                out = os.path.join(cfg.save_path, os.path.basename(path))
-                visualize(img, in_boxes, input_box_size, out)
-            all_dets.append(detections_to_eval_format(in_boxes))
-            gts = labels_to_eval_format(
-                labels, (cfg.input_image_size[1], cfg.input_image_size[0]))
-            if cfg.class_num == 0 and len(gts):
-                gts[:, 4] = 0.0  # single-class mode: all objects class 0
-            all_gts.append(gts)
-    report = evaluate_map(all_dets, all_gts)
+    report = score_dataset(cfg, lambda b: trainer.predict(b.images), ds,
+                           save_path=cfg.save_path)
     logging.info("mAP@0.5 = %.4f (per-class: %s)", report["mAP"],
                  report["per_class"])
     return report

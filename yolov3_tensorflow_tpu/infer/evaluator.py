@@ -127,3 +127,49 @@ def labels_to_eval_format(labels: np.ndarray, image_wh) -> np.ndarray:
     bw, bh = lab[:, 2] * w, lab[:, 3] * h
     return np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2,
                      lab[:, 4]], axis=1)
+
+
+def score_dataset(cfg, forward, ds, save_path: str = ""):
+    """The ``run.py --mode test`` scoring loop, shared with the parity
+    harness (tools/map_parity.py): iterate a test Dataset, run a
+    pluggable ``forward(batch) -> heads``, decode + NMS + accumulate,
+    and return :func:`evaluate_map`'s report (reference run.py:41-80's
+    evaluation flow).  ``save_path`` non-empty additionally writes the
+    visualized detections per image.
+
+    The loader wraps partial batches for static shapes; wrapped
+    duplicate paths are scored once.  With ``cfg.class_num == 0``
+    (single-class mode) ground-truth class ids collapse to 0 to match
+    the detector's all-class-0 output (ops/nms.py:108).
+    """
+    import os
+
+    from .postprocess import YOLOv3PostProcessor, resize_boxes, visualize
+
+    post = YOLOv3PostProcessor(cfg)
+    input_box_size = np.array([cfg.input_image_size[1],
+                               cfg.input_image_size[0]] * 2, np.float64)
+    all_dets, all_gts = [], []
+    seen = set()
+    if save_path:
+        os.makedirs(save_path, exist_ok=True)
+    for batch in ds.batches(repeat=False):
+        heads = forward(batch)
+        per_image = post.process(heads)
+        images = batch.images_float() if save_path else batch.images
+        for img, labels, path, head_boxes in zip(
+                images, batch.labels, batch.paths, per_image):
+            if path in seen:
+                continue
+            seen.add(path)
+            in_boxes = resize_boxes(head_boxes, input_box_size)
+            if save_path:
+                out = os.path.join(save_path, os.path.basename(path))
+                visualize(img, in_boxes, input_box_size, out)
+            all_dets.append(detections_to_eval_format(in_boxes))
+            gts = labels_to_eval_format(
+                labels, (cfg.input_image_size[1], cfg.input_image_size[0]))
+            if cfg.class_num == 0 and len(gts):
+                gts[:, 4] = 0.0  # single-class mode: all objects class 0
+            all_gts.append(gts)
+    return evaluate_map(all_dets, all_gts)

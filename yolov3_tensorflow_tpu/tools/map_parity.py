@@ -33,32 +33,12 @@ SAMPLE = "/root/reference/dataset/test_sample"
 
 
 def _score(cfg, forward, ds):
-    """run.py --mode test's loop with a pluggable forward(images)->heads
-    (so the flax model and the Keras rebuild flow through the IDENTICAL
-    decode + NMS + evaluation path)."""
-    from ..infer.evaluator import (detections_to_eval_format,
-                                   evaluate_map, labels_to_eval_format)
-    from ..infer.postprocess import YOLOv3PostProcessor, resize_boxes
-
-    post = YOLOv3PostProcessor(cfg)
-    input_box_size = np.array([cfg.input_image_size[1],
-                               cfg.input_image_size[0]] * 2, np.float64)
-    all_dets, all_gts = [], []
-    seen = set()
-    for batch in ds.batches(repeat=False):
-        heads = forward(batch)
-        per_image = post.process(heads)
-        for labels, path, head_boxes in zip(batch.labels, batch.paths,
-                                            per_image):
-            if path in seen:
-                continue
-            seen.add(path)
-            in_boxes = resize_boxes(head_boxes, input_box_size)
-            all_dets.append(detections_to_eval_format(in_boxes))
-            all_gts.append(labels_to_eval_format(
-                labels, (cfg.input_image_size[1],
-                         cfg.input_image_size[0])))
-    return evaluate_map(all_dets, all_gts)
+    """run.py --mode test's ACTUAL loop (infer.evaluator.score_dataset,
+    shared code, not a copy) with a pluggable forward(batch)->heads —
+    so the flax model and the Keras rebuild flow through the IDENTICAL
+    decode + NMS + evaluation path."""
+    from ..infer.evaluator import score_dataset
+    return score_dataset(cfg, forward, ds)
 
 
 def main(argv=None):
@@ -70,8 +50,12 @@ def main(argv=None):
 
     import jax
 
-    if jax.default_backend() not in ("cpu",):
-        pass  # TPU fine too; the tool is small either way
+    # Force CPU (the docstring's promise): the axon sitecustomize
+    # force-registers the TPU backend and env JAX_PLATFORMS=cpu is
+    # ignored, so without this the standalone tool would silently grab
+    # the (single-process) TPU and pay 20-40s remote compiles.  Must
+    # run before ANY device query — the platform locks at first use.
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import tensorflow as tf
 

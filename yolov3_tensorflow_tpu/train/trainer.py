@@ -431,7 +431,16 @@ class YOLOv3Trainer:
             set_op_mesh(None if spatial else self.mesh,
                         self.cfg.data_axis)
             return fn(*a)
-        wrapped.lower = fn.lower  # keep jit's AOT surface (_model_structure)
+
+        def lower(*a, **kw):
+            # the AOT surface (_model_structure) traces too — it needs
+            # the same re-registration or it would trace this trainer's
+            # Pallas ops over whichever mesh another trainer registered
+            # last (a process can hold trainers with different meshes)
+            set_op_mesh(None if spatial else self.mesh,
+                        self.cfg.data_axis)
+            return fn.lower(*a, **kw)
+        wrapped.lower = lower  # keep jit's AOT surface
         return wrapped
 
     def predict(self, images) -> tuple:

@@ -82,10 +82,22 @@ def hlo_op_table(trace_dir: str):
     no xplane files or no HLO rows (e.g. host-only CPU traces)."""
     import glob
     import json
+    import os
 
     files = glob.glob(trace_dir + "/**/*.xplane.pb", recursive=True)
     if not files:
         raise RuntimeError(f"no xplane.pb under {trace_dir}")
+    # jax.profiler.trace writes one plugins/profile/<timestamp>/ run
+    # subdir per trace; a reused trace_dir holds several.  Aggregate
+    # ONLY the newest run — summing across runs silently doubles (or
+    # cross-mixes) the per-step figures these tables exist to compare.
+    by_run = {}
+    for f in files:
+        by_run.setdefault(os.path.dirname(f), []).append(f)
+    if len(by_run) > 1:
+        newest = max(by_run, key=lambda d: max(os.path.getmtime(f)
+                                               for f in by_run[d]))
+        files = by_run[newest]
     from xprof.convert import raw_to_tool_data as rtd
     data, _ = rtd.xspace_to_tool_data(files, "hlo_stats", {})
     if isinstance(data, bytes):
