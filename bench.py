@@ -45,14 +45,18 @@ def main_infer(args):
     nms = BatchedNMS(cfg)
     model = build_detector(cfg, quant="int8") if quant else trainer.model
 
+    from yolov3_tensorflow_tpu.train.trainer import _normalize_images
+
     @jax.jit
     def infer(state, qvars, images):
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
         if quant:
             variables["quant"] = qvars
-        heads = model.apply(variables,
-                            images.astype(jnp.float32) / 255.0, train=False)
+        # the trainer's single normalization source: the int8 path's
+        # calibration scales are only valid under the same normalize
+        heads = model.apply(variables, _normalize_images(images),
+                            train=False)
         return nms(heads)
 
     rng = np.random.RandomState(0)

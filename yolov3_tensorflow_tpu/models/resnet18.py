@@ -113,8 +113,9 @@ class ResNet18(BasicBackbone):
                               strides=(1, 1)):
         """One residual block as part of the fused winograd chain.
         Takes and returns a chain state ('mat', x) | ('def', ...)."""
-        shape = (state[1].shape if state[0] == "mat"
-                 else state[1].shape)  # [H,W,C,N] of the flowing tensor
+        # y_raw ('def') and the materialized tensor ('mat') share the
+        # flowing [H,W,C,N] shape
+        shape = state[1].shape
         if strides != (1, 1) or not self.chain_ok(shape, filters, train):
             x = self._materialize(state)
             return ("mat", self._chain_block_hwcn(x, filters, is_nin,

@@ -31,6 +31,11 @@ def make_mesh(num_devices: int = 0, data_axis: str = "data",
     (used for spatial partitioning of the conv grid)."""
     devs = list(devices if devices is not None else jax.devices())
     if num_devices and num_devices > 0:
+        assert len(devs) >= num_devices, (
+            f"Config asked for {num_devices} devices but only "
+            f"{len(devs)} are visible — a silent smaller mesh would "
+            f"change per-device batch and global-batch semantics "
+            f"(on CPU set xla_force_host_platform_device_count)")
         devs = devs[:num_devices]
     model_size = max(1, model_size)
     assert len(devs) % model_size == 0, (
