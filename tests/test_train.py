@@ -142,3 +142,18 @@ def test_export_roundtrip_fp32():
         for a, b in zip(out, ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4)
+
+
+def test_model_structure_after_other_trainer_mesh():
+    """The AOT .lower surface must re-register ITS trainer's op mesh:
+    building trainer B (8-device) after A (1-device) used to leave B's
+    mesh registered, so A._model_structure() traced A's Pallas ops
+    shard_mapped over B's mesh (mesh mismatch / wrong HLO artifact)."""
+    a = YOLOv3Trainer(_cfg(num_devices=1), restore=False,
+                      checkpoint_dir=tempfile.mkdtemp())
+    b = YOLOv3Trainer(_cfg(num_devices=8), restore=False,
+                      checkpoint_dir=tempfile.mkdtemp())
+    assert b.mesh.shape["data"] == 8
+    hlo, summary = a._model_structure()  # must not raise / mis-trace
+    assert "TOTAL parameters" in summary
+    assert len(hlo) > 1000
