@@ -49,6 +49,12 @@ int decode_one(const char* path, int dst_h, int dst_w, unsigned char* out,
 
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
+  // Declared BEFORE setjmp: a longjmp out of a mid-decode libjpeg error
+  // does not unwind C++ objects constructed after the setjmp point, so a
+  // buffer declared below it would leak its heap block on every corrupt
+  // image (the error path returns through this frame normally, running
+  // destructors only for objects that precede the setjmp).
+  std::vector<unsigned char> src;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
   if (setjmp(jerr.setjmp_buffer)) {
@@ -67,7 +73,7 @@ int decode_one(const char* path, int dst_h, int dst_w, unsigned char* out,
   *src_h_out = sh;
   *src_w_out = sw;
 
-  std::vector<unsigned char> src(static_cast<size_t>(sw) * sh * 3);
+  src.resize(static_cast<size_t>(sw) * sh * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     unsigned char* row = src.data() + static_cast<size_t>(
         cinfo.output_scanline) * sw * 3;

@@ -1,6 +1,8 @@
 """Data pipeline: letterbox parity with tf.image.resize_with_pad, label
 transform math (dataset/file_util.py:47-55), loader invariants, and
 augmentation bounds (dataset/dataset_util.py)."""
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -136,3 +138,83 @@ def test_cache_auto_streams_large_corpora(sample_paths, tmp_path):
     forced = Dataset(big_cfg, str(biglabel), sample_paths["images"],
                      cache=True)
     assert forced._cache is not None
+
+
+def test_batch_wrap_fills_when_batch_exceeds_twice_dataset(sample_paths):
+    """The static-shape wrap must tile the index order: with
+    batch_size > 2*len(dataset) the old order[:bs-len] pad under-filled
+    the batch, silently breaking the promised static shape."""
+    cfg = Config(input_image_size=(96, 128, 3), max_boxes=8, batch_size=48)
+    ds = Dataset(cfg, sample_paths["label"], sample_paths["images"])
+    assert len(ds) == 20
+    batch = next(ds.batches(repeat=False))
+    assert batch.images.shape == (48, 96, 128, 3)
+    assert batch.labels.shape == (48, 8, 5)
+
+
+def test_prefetch_propagates_worker_errors(sample_paths):
+    """A mid-run decode/IO failure must raise in the consumer, not
+    masquerade as a clean end-of-stream that silently truncates
+    training."""
+    cfg = Config(input_image_size=(96, 128, 3), max_boxes=8, batch_size=4)
+    ds = Dataset(cfg, sample_paths["label"], sample_paths["images"])
+
+    def boom(*a, **kw):
+        raise OSError("disk went away")
+
+    ds._fetch_batch_images = boom
+    it = ds.prefetch()
+    with pytest.raises(OSError, match="disk went away"):
+        next(it)
+
+
+def test_prefetch_close_stops_worker(sample_paths):
+    """Abandoning a repeat=True prefetch iterator must stop its worker
+    thread (no leaked thread pinning depth+1 decoded batches)."""
+    import threading
+
+    cfg = Config(input_image_size=(96, 128, 3), max_boxes=8, batch_size=4)
+    ds = Dataset(cfg, sample_paths["label"], sample_paths["images"])
+    before = threading.active_count()
+    it = ds.prefetch(depth=2)
+    next(it)
+    it.close()  # GeneratorExit -> cancel event -> worker drains out
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
+def test_native_per_image_fallback(tmp_path):
+    """One undecodable-by-libjpeg image (a PNG disguised as .jpg: PIL
+    sniffs the real format, libjpeg errors) must fall back to PIL for
+    THAT image only — and the batch must still be correct."""
+    from PIL import Image as PILImage
+
+    from yolov3_tensorflow_tpu.data import native_loader
+    if not native_loader.available():
+        pytest.skip("native loader not built")
+    imgdir = tmp_path / "images"
+    imgdir.mkdir()
+    rng = np.random.RandomState(0)
+    lines = []
+    for i in range(4):
+        arr = rng.randint(0, 255, (40, 60, 3), np.uint8)
+        p = imgdir / f"im{i}.jpg"
+        PILImage.fromarray(arr).save(
+            str(p), format="PNG" if i == 2 else "JPEG")
+        lines.append(f"im{i}.jpg 0.5 0.5 0.4 0.4 0")
+    label = tmp_path / "label.txt"
+    label.write_text("\n".join(lines) + "\n")
+    cfg = Config(input_image_size=(64, 64, 3), max_boxes=4, batch_size=4,
+                 class_num=13)
+    ds = Dataset(cfg, str(label), str(imgdir), cache=False, shuffle=False)
+    batch = next(ds.batches(repeat=False))
+    assert batch.images.shape == (4, 64, 64, 3)
+    # every image matches the pure-PIL reference decode
+    from yolov3_tensorflow_tpu.data.loader import load_image
+    for k in range(4):
+        ref = load_image(str(imgdir / f"im{k}.jpg"), (64, 64),
+                         as_float=False)
+        np.testing.assert_array_equal(batch.images[k], ref, err_msg=str(k))
+    assert 2 in ds._native_failed

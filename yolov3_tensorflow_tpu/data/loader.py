@@ -171,6 +171,8 @@ class Dataset:
                     "auto-cache budget; streaming uncached",
                     len(self.examples), need / 1e9)
         self._cache = {} if cache else None
+        self._native_failed: set = set()  # warn once per bad image
+        self._native_warned = False
         # transformed labels are deterministic per example: precompute
         self._labels = []
         overflow = 0
@@ -204,27 +206,40 @@ class Dataset:
 
     def _fetch_batch_images(self, idx) -> np.ndarray:
         """Decode a batch, preferring the native C++ loader (one threaded
-        call, bit-exact with the PIL path; see data/native_loader.py)."""
+        call, bit-exact with the PIL path; see data/native_loader.py).
+        Per-image failures (corrupt/CMYK JPEGs) fall back to PIL for
+        THAT image only — one bad file must not push every batch that
+        contains it onto the ~10x-slower all-PIL path."""
         missing = [int(i) for i in idx
                    if self._cache is None or int(i) not in self._cache]
+        decoded = {}
         if missing:
             try:
                 from . import native_loader
                 if native_loader.available():
-                    imgs, _ = native_loader.decode_letterbox_batch(
+                    imgs, _, status = native_loader.decode_letterbox_batch(
                         [self.examples[i].path for i in missing],
-                        self.dst_hw)
-                    if self._cache is not None:
-                        for k, i in enumerate(missing):
-                            self._cache[i] = imgs[k]
-                    else:
-                        lut = {i: imgs[k] for k, i in enumerate(missing)}
-                        return np.stack([
-                            lut[int(i)] if int(i) in lut else self._image(i)
-                            for i in idx])
+                        self.dst_hw, strict=False)
+                    for k, i in enumerate(missing):
+                        if status[k] == 0:
+                            decoded[i] = imgs[k]
+                        elif i not in self._native_failed:
+                            self._native_failed.add(i)
+                            logging.warning(
+                                "native decode failed for %s (status %d); "
+                                "PIL fallback for this image",
+                                self.examples[i].path, int(status[k]))
             except Exception:
-                pass  # PIL fallback below handles any failure
-        return np.stack([self._image(i) for i in idx])
+                if not self._native_warned:
+                    self._native_warned = True
+                    logging.warning("native loader call failed; "
+                                    "PIL fallback", exc_info=True)
+            if self._cache is not None:
+                self._cache.update(decoded)
+        if self._cache is not None:
+            return np.stack([self._image(i) for i in idx])
+        return np.stack([decoded[int(i)] if int(i) in decoded
+                         else self._image(i) for i in idx])
 
     def batches(self, batch_size: Optional[int] = None,
                 repeat: bool = True) -> Iterator[Batch]:
@@ -237,7 +252,9 @@ class Dataset:
             for start in range(0, n, bs):
                 idx = order[start:start + bs]
                 if len(idx) < bs:  # wrap to keep shapes static
-                    idx = np.concatenate([idx, order[:bs - len(idx)]])
+                    # np.resize tiles: full fill even when bs > 2*n
+                    idx = np.concatenate(
+                        [idx, np.resize(order, bs - len(idx))])
                 images = self._fetch_batch_images(idx)
                 labels = np.stack([self._labels[i] for i in idx])
                 paths = tuple(self.examples[i].path for i in idx) \
@@ -266,21 +283,53 @@ class Dataset:
     def prefetch(self, batch_size: Optional[int] = None, repeat: bool = True,
                  depth: int = 2) -> Iterator[Batch]:
         """Background-thread prefetch (the tf.data prefetch(AUTOTUNE)
-        analog, file_util.py:113)."""
+        analog, file_util.py:113).
+
+        Worker exceptions RE-RAISE in the consumer (a mid-run decode/IO
+        error must not masquerade as a clean end-of-stream and silently
+        truncate training), and closing/abandoning the generator stops
+        the worker and releases its queued batches (an abandoned
+        repeat=True iterator otherwise pins depth+1 decoded batches and
+        a thread forever)."""
         q: "queue.Queue" = queue.Queue(maxsize=depth)
-        stop = object()
+        cancel = threading.Event()
+
+        class _End:
+            def __init__(self, err=None):
+                self.err = err
+
+        def _put(item) -> bool:
+            while not cancel.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for b in self.batches(batch_size, repeat):
-                    q.put(b)
-            finally:
-                q.put(stop)
+                    if not _put(b):
+                        return
+                _put(_End())
+            except BaseException as e:  # pragma: no cover - raced IO
+                _put(_End(e))
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if isinstance(item, _End):
+                    if item.err is not None:
+                        raise item.err
+                    return
+                yield item
+        finally:
+            cancel.set()
+            while True:  # unblock a q.put-blocked worker promptly
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break

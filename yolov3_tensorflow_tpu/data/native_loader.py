@@ -64,11 +64,14 @@ def available() -> bool:
 
 
 def decode_letterbox_batch(paths: List[str], dst_hw: Tuple[int, int],
-                           num_threads: int = 0):
+                           num_threads: int = 0, strict: bool = True):
     """Decode JPEGs into a (n, H, W, 3) uint8 BGR letterboxed batch.
 
-    Returns (images, src_dims (n,2) [h,w]).  Raises RuntimeError on any
-    per-image decode failure (caller may fall back per-image)."""
+    ``strict`` returns (images, src_dims (n,2) [h,w]) and raises
+    RuntimeError on any per-image decode failure; ``strict=False``
+    returns (images, src_dims, status (n,) int32) so the caller can
+    fall back per-image (0 = ok; failed rows of ``images`` are
+    undefined)."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native loader not available")
@@ -84,6 +87,8 @@ def decode_letterbox_batch(paths: List[str], dst_hw: Tuple[int, int],
         src_dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         num_threads)
+    if not strict:
+        return out, src_dims, status
     if status.any():
         bad = [paths[i] for i in np.where(status)[0]]
         raise RuntimeError(f"native decode failed for {bad[:3]}...")

@@ -22,6 +22,13 @@ import numpy as np
 
 from ..config import Config
 
+# Effective clip top bound: 1 - 1e-8 rounds to exactly 1.0 in f32, so
+# the reference's Keras epsilon alone makes the upper clip a no-op.
+# 1 - 1e-7 IS representable (same guard as ops/loss.py _SAFE_HI); the
+# tighter of the two applies so any consumer that takes a log of the
+# decoded probabilities is safe (CLAUDE.md stability invariants).
+_SAFE_HI = float(np.float32(1.0) - np.float32(1e-7))
+
 
 def grid_left_top(height: int, width: int) -> np.ndarray:
     """Meshgrid left-top coords (H, W, 1, 2) ordered [x, y]
@@ -44,14 +51,15 @@ def decode_single_head(raw, left_top, anchors, class_num: int, eps: float):
     raw = raw.astype(jnp.float32)
     # jax.nn.sigmoid for a gradient that is finite at extreme logits
     # (see ops/loss.py _flat_decode note)
-    xy = jnp.clip(jax.nn.sigmoid(raw[..., 0:2]), eps, 1.0 - eps)
+    hi = min(1.0 - eps, _SAFE_HI)
+    xy = jnp.clip(jax.nn.sigmoid(raw[..., 0:2]), eps, hi)
     xy = xy + left_top
     # exp clamp mirrors ops/loss.py: overflow guard, inactive normally
     wh = jnp.exp(jnp.clip(raw[..., 2:4], -15.0, 15.0)) * anchors
-    score = jnp.clip(jax.nn.sigmoid(raw[..., 4:5]), eps, 1.0 - eps)
+    score = jnp.clip(jax.nn.sigmoid(raw[..., 4:5]), eps, hi)
     if class_num >= 1:
         probs = jnp.clip(jax.nn.softmax(raw[..., 5:], axis=-1),
-                         eps, 1.0 - eps)
+                         eps, hi)
         decoded = jnp.concatenate([xy, wh, score, probs], axis=-1)
     else:
         decoded = jnp.concatenate([xy, wh, score], axis=-1)

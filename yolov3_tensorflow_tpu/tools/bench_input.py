@@ -56,8 +56,10 @@ def main(argv=None):
     cfg = Config(input_image_size=(args.size[0], args.size[1], 3),
                  batch_size=args.batch, max_boxes=8, num_devices=1)
     ds = Dataset(cfg, label, os.path.join(out, "images"), cache="auto")
+    from ..data.loader import CACHE_AUTO_LIMIT_BYTES
     assert ds._cache is None or args.images * args.size[0] * args.size[1] \
-        * 3 <= 2 << 30, "auto cache should be off at corpus scale"
+        * 3 <= CACHE_AUTO_LIMIT_BYTES, \
+        "auto cache should be off at corpus scale"
 
     if args.thread_sweep:
         # direct native-decoder benchmark: the C++ pool's thread-count
