@@ -52,6 +52,10 @@ def build_config(args) -> "Config":
         overrides["is_focal_loss"] = True
     if args.tiou_recall:
         overrides["is_tiou_recall"] = True
+    if args.giou_loss:
+        overrides["is_giou_loss"] = True
+    if args.mixup:
+        overrides["is_mixup"] = True
     return cfg.replace(**overrides)
 
 
@@ -142,6 +146,10 @@ def main(argv=None):
     p.add_argument("--no_augment", action="store_true")
     p.add_argument("--focal_loss", action="store_true")
     p.add_argument("--tiou_recall", action="store_true")
+    p.add_argument("--giou_loss", action="store_true",
+                   help="GIOU box regression (reference roadmap item)")
+    p.add_argument("--mixup", action="store_true",
+                   help="detection mixup (reference roadmap item)")
     p.add_argument("--quant", default=None, choices=["none", "int8"],
                    help="post-training int8 inference (test/predict "
                         "modes): eligible convs run int8 with scales "

@@ -51,8 +51,14 @@ def decode_head_np(raw, anchors_grid, class_num):
     return dec, boxes
 
 
-def reference_loss(raw_heads, targets, cfg, image_count=10 ** 9):
-    """Full-batch loss; returns (total, breakdown (6,3), new_count)."""
+def reference_loss(raw_heads, targets, cfg, image_count=10 ** 9,
+                   box_weights=None):
+    """Full-batch loss; returns (total, breakdown (6,3), new_count).
+
+    box_weights: optional (N, M) per-box loss weights (the mixup hook) —
+    weights the obj/xy/wh/cls terms of each box; background geometry is
+    unweighted, mirroring ops/loss.py.
+    """
     n = targets.shape[0]
     grids = cfg.head_grid_sizes
     anchors = [np.asarray(a) * np.array([g[1], g[0]])
@@ -62,7 +68,10 @@ def reference_loss(raw_heads, targets, cfg, image_count=10 ** 9):
     rect_img = np.zeros((n, 3))
 
     for img in range(n):
-        tgt = targets[img][targets[img][:, 0] >= 0]
+        keep = targets[img][:, 0] >= 0
+        tgt = targets[img][keep]
+        bw_img = (np.ones(len(tgt)) if box_weights is None
+                  else np.asarray(box_weights[img])[keep])
         decs, boxess, resp = [], [], []
         for hi in range(3):
             gh, gw = grids[hi]
@@ -134,27 +143,45 @@ def reference_loss(raw_heads, targets, cfg, image_count=10 ** 9):
             obj = xy = wh = cls = 0.0
             for oi in winners:
                 row, col, bb, _, txy, twh, o = resp[hi][oi]
+                w_o = bw_img[oi]
                 pred = dec[row, col, bb]
                 term = -np.log(pred[4])
                 if cfg.is_focal_loss:
                     term *= (1 - pred[4]) ** cfg.focal_gamma \
                         * cfg.focal_alpha
-                obj += term
+                obj += w_o * term
                 scale = 2 - twh[0] * twh[1] / (gh * gw)
-                ci = np.floor(txy)
-                tf_ = txy - ci
-                pf = np.clip(pred[0:2] - ci, EPS, 1 - EPS)
-                xy += scale * np.sum(-(tf_ * np.log(pf)
-                                       + (1 - tf_) * np.log(1 - pf)))
-                wh += scale * np.sum(
-                    (np.log(twh) - np.log(pred[2:4])) ** 2)
+                if getattr(cfg, "is_giou_loss", False):
+                    # roadmap GIOU (README.md:134): scale * (1 - GIOU)
+                    pbox = boxes[row, col, bb]
+                    tbox = np.asarray([
+                        txy[0] - twh[0] / 2, txy[1] - twh[1] / 2,
+                        txy[0] + twh[0] / 2, txy[1] + twh[1] / 2])
+                    lt = np.maximum(pbox[0:2], tbox[0:2])
+                    rb = np.minimum(pbox[2:4], tbox[2:4])
+                    inter = np.prod(np.maximum(rb - lt, 0.0))
+                    parea = (pbox[2] - pbox[0]) * (pbox[3] - pbox[1])
+                    union = max(parea + twh[0] * twh[1] - inter, 1e-12)
+                    elt = np.minimum(pbox[0:2], tbox[0:2])
+                    erb = np.maximum(pbox[2:4], tbox[2:4])
+                    enclose = max(np.prod(erb - elt), 1e-12)
+                    giou = inter / union - (enclose - union) / enclose
+                    xy += w_o * scale * (1 - giou)
+                else:
+                    ci = np.floor(txy)
+                    tf_ = txy - ci
+                    pf = np.clip(pred[0:2] - ci, EPS, 1 - EPS)
+                    xy += w_o * scale * np.sum(-(tf_ * np.log(pf)
+                                                 + (1 - tf_) * np.log(1 - pf)))
+                    wh += w_o * scale * np.sum(
+                        (np.log(twh) - np.log(pred[2:4])) ** 2)
                 if cfg.class_num >= 1:
                     onehot = np.zeros(cfg.class_num)
                     onehot[int(o[4])] = 1.0
                     if cfg.is_label_smoothing:
                         e = cfg.label_smoothing_eps
                         onehot = onehot * (1 - e) + e / cfg.class_num
-                    cls += float(np.sum(-onehot * np.log(pred[5:])))
+                    cls += w_o * float(np.sum(-onehot * np.log(pred[5:])))
             per_image[img, :, hi] = [
                 weights[hi, 0] * xy, weights[hi, 1] * wh,
                 weights[hi, 2] * noobj, weights[hi, 3] * obj,

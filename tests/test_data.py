@@ -218,3 +218,40 @@ def test_native_per_image_fallback(tmp_path):
                          as_float=False)
         np.testing.assert_array_equal(batch.images[k], ref, err_msg=str(k))
     assert 2 in ds._native_failed
+
+
+def test_mixup_batch_blend_union_weights():
+    """mixup (reference roadmap README.md:131): image blend, label
+    union, and per-box weights pinned against the documented RNG
+    consumption (perm then lam)."""
+    from yolov3_tensorflow_tpu.data.augment import mixup_batch
+
+    rng = jax.random.PRNGKey(3)
+    n, m = 4, 2
+    images = jnp.asarray(
+        np.random.RandomState(0).rand(n, 8, 8, 3).astype(np.float32))
+    labels = -np.ones((n, m, 5), np.float32)
+    for i in range(n):
+        labels[i, 0] = [0.5, 0.5, 0.2, 0.3, i]
+    labels = jnp.asarray(labels)
+    mixed, out_labels, w = mixup_batch(rng, images, labels, 1.5)
+
+    k_perm, k_lam = jax.random.split(rng)
+    perm = jax.random.permutation(k_perm, n)
+    lam = jax.random.beta(k_lam, 1.5, 1.5, (n,), jnp.float32)
+    expect = images * lam[:, None, None, None] \
+        + images[perm] * (1 - lam)[:, None, None, None]
+    np.testing.assert_allclose(np.asarray(mixed), np.asarray(expect),
+                               rtol=1e-6)
+    assert out_labels.shape == (n, 2 * m, 5)
+    np.testing.assert_array_equal(np.asarray(out_labels[:, :m]),
+                                  np.asarray(labels))
+    np.testing.assert_array_equal(np.asarray(out_labels[:, m:]),
+                                  np.asarray(labels)[np.asarray(perm)])
+    # image i's own boxes weigh lam[i], the partner content's 1-lam[i]
+    np.testing.assert_allclose(np.asarray(w[:, :m]),
+                               np.tile(np.asarray(lam)[:, None], (1, m)))
+    np.testing.assert_allclose(np.asarray(w[:, m:]),
+                               np.tile(1 - np.asarray(lam)[:, None],
+                                       (1, m)))
+    assert np.all((np.asarray(lam) > 0) & (np.asarray(lam) < 1))

@@ -142,6 +142,108 @@ def test_gradients_finite_at_extreme_logits():
     assert all(bool(jnp.all(jnp.isfinite(g))) for g in grads)
 
 
+@pytest.mark.parametrize("class_num", [0, 3])
+def test_giou_matches_numpy_oracle(class_num):
+    """GIOU coordinate loss (reference roadmap README.md:134) vs the
+    independently-written oracle branch."""
+    cfg = _mk_cfg(class_num=class_num, is_giou_loss=True,
+                  rectified_coord_num=100)
+    heads = _random_heads(cfg, 2, seed=21 + class_num)
+    targets = _targets(2, 3, {
+        (0, 0): [0.5, 0.5, 0.25, 0.3, min(1, class_num and 1)],
+        (0, 1): [0.2, 0.7, 0.1, 0.15, 0],
+        (1, 0): [0.8, 0.3, 0.4, 0.5, min(2, max(0, class_num - 1))],
+    })
+    loss = YOLOv3Loss(cfg)
+    total, bd, cnt = jax.jit(loss)(heads, targets,
+                                   jnp.asarray(0, jnp.int32))
+    ref_total, ref_bd, ref_cnt = reference_loss(
+        [np.asarray(h) for h in heads], np.asarray(targets), cfg,
+        image_count=0)
+    np.testing.assert_allclose(float(total), ref_total, rtol=2e-4)
+    got = np.stack([np.asarray(bd[k]) for k in (
+        "rectified_coord_loss", "coord_loss_xy", "coord_loss_wh",
+        "noobj_iou_loss", "obj_iou_loss", "class_loss")])
+    np.testing.assert_allclose(got, ref_bd, rtol=2e-3, atol=1e-5)
+    # the wh slot is folded into the GIOU (xy) term
+    assert np.asarray(bd["coord_loss_wh"]).sum() == 0
+    assert np.asarray(bd["coord_loss_xy"]).sum() > 0
+
+
+def test_giou_gradients_finite_at_extreme_logits():
+    cfg = _mk_cfg(is_giou_loss=True)
+    t = _targets(1, 3, {(0, 0): [0.5, 0.5, 0.2, 0.2, 0]})
+    loss = YOLOv3Loss(cfg)
+
+    def total(hs):
+        l, _, _ = loss(hs, t, jnp.asarray(10 ** 9, jnp.int32))
+        return l
+
+    for v in (-120.0, 120.0):
+        heads = [jnp.full((1, h, w, c), v)
+                 for (h, w), c in zip(cfg.head_grid_sizes,
+                                      cfg.head_channel_nums)]
+        assert bool(jnp.isfinite(total(heads)))
+        grads = jax.grad(total)(heads)
+        assert all(bool(jnp.all(jnp.isfinite(g))) for g in grads)
+
+
+def test_box_weights_ones_is_default():
+    cfg = _mk_cfg(class_num=3)
+    heads = _random_heads(cfg, 2, seed=3)
+    t = _targets(2, 3, {(0, 0): [0.5, 0.5, 0.25, 0.3, 1],
+                        (1, 0): [0.8, 0.3, 0.4, 0.5, 2]})
+    loss = YOLOv3Loss(cfg)
+    l1, _, _ = loss(heads, t, jnp.asarray(0, jnp.int32))
+    l2, _, _ = loss(heads, t, jnp.asarray(0, jnp.int32),
+                    box_weights=jnp.ones((2, 3)))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+def test_box_weights_match_oracle():
+    """Fractional per-box weights (the mixup hook) against the oracle's
+    independently-looped weighting."""
+    cfg = _mk_cfg(class_num=3, rectified_coord_num=-1)
+    heads = _random_heads(cfg, 2, seed=11)
+    targets = _targets(2, 3, {
+        (0, 0): [0.5, 0.5, 0.25, 0.3, 1],
+        (0, 1): [0.2, 0.7, 0.1, 0.15, 0],
+        (1, 0): [0.8, 0.3, 0.4, 0.5, 2],
+    })
+    w = np.asarray([[0.3, 0.9, 0.5], [0.7, 1.0, 1.0]], np.float32)
+    loss = YOLOv3Loss(cfg)
+    total, bd, _ = loss(heads, targets, jnp.asarray(10 ** 9, jnp.int32),
+                        box_weights=jnp.asarray(w))
+    ref_total, ref_bd, _ = reference_loss(
+        [np.asarray(h) for h in heads], np.asarray(targets), cfg,
+        box_weights=w)
+    np.testing.assert_allclose(float(total), ref_total, rtol=2e-4)
+    got = np.stack([np.asarray(bd[k]) for k in (
+        "rectified_coord_loss", "coord_loss_xy", "coord_loss_wh",
+        "noobj_iou_loss", "obj_iou_loss", "class_loss")])
+    np.testing.assert_allclose(got, ref_bd, rtol=2e-3, atol=1e-5)
+
+
+def test_mixup_duplicate_union_equals_base():
+    """The mixup label transform is loss-invariant in the degenerate
+    self-pair case: union of a label set with itself, weighted lam and
+    1-lam, must equal the single-copy loss (weights sum to 1 per box and
+    the object/background geometry is weight-independent)."""
+    cfg = _mk_cfg(class_num=3)
+    heads = _random_heads(cfg, 2, seed=5)
+    t = _targets(2, 3, {(0, 0): [0.5, 0.5, 0.25, 0.3, 1],
+                        (1, 1): [0.8, 0.3, 0.4, 0.5, 2]})
+    lam = 0.37
+    t2 = jnp.concatenate([t, t], axis=1)
+    w = jnp.concatenate([jnp.full((2, 3), lam),
+                         jnp.full((2, 3), 1.0 - lam)], axis=1)
+    loss = YOLOv3Loss(cfg)
+    base, bd1, _ = loss(heads, t, jnp.asarray(10 ** 9, jnp.int32))
+    mixed, bd2, _ = loss(heads, t2, jnp.asarray(10 ** 9, jnp.int32),
+                         box_weights=w)
+    np.testing.assert_allclose(float(base), float(mixed), rtol=1e-5)
+
+
 def test_cross_head_assignment_unique_when_no_tie():
     """A small object should normally win on exactly one head."""
     cfg = _mk_cfg(rectified_coord_num=-1)

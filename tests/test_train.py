@@ -98,6 +98,37 @@ def test_augmented_step_runs():
     assert not np.array_equal(np.asarray(st.rng), rng_before)
 
 
+def test_mixup_step_runs_and_descends():
+    """Roadmap-item integration (README.md:131): a mixup train step must
+    run with the widened (N, 2M, 5) label union and still descend."""
+    cfg = _cfg(is_mixup=True, is_augment=True)
+    tr = YOLOv3Trainer(cfg, restore=False,
+                       checkpoint_dir=tempfile.mkdtemp())
+    images, labels = _batch(8)
+    losses = []
+    for _ in range(4):
+        tr.state, m = tr.train_step(tr.state, images, labels)
+        losses.append(float(m["total_loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+
+
+def test_giou_step_runs_and_descends():
+    """Roadmap-item integration (README.md:134): GIOU training descends
+    and reports a zero wh slot."""
+    cfg = _cfg(is_giou_loss=True)
+    tr = YOLOv3Trainer(cfg, restore=False,
+                       checkpoint_dir=tempfile.mkdtemp())
+    images, labels = _batch(8)
+    losses = []
+    for _ in range(5):
+        tr.state, m = tr.train_step(tr.state, images, labels)
+        losses.append(float(m["total_loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+    assert float(np.asarray(m["coord_loss_wh"]).sum()) == 0.0
+
+
 def test_lr_schedule_follows_actual_steps_per_epoch():
     """train(steps_per_epoch=N) must re-derive the LR schedule so the
     piecewise boundaries fire at the right real epochs (reference: the

@@ -119,6 +119,19 @@ class Config:
     focal_gamma: float = 2.0
     is_gradient_harmonized: bool = False
     is_tiou_recall: bool = False
+    # --- reference roadmap items (unchecked TODOs, README.md:127-137) ---
+    # GIOU box regression (README.md:134 "GIOU"): replaces the xy-BCE +
+    # wh-MSE coordinate pair with scale * (1 - GIOU(pred, target)) at the
+    # responsible anchors (Rezatofighi et al., CVPR 2019).  Weighted by
+    # the per-head xy coord weight; the wh breakdown slot reports 0.
+    is_giou_loss: bool = False
+    # mixup (README.md:131 "mixup"): blend image pairs with per-image
+    # Beta(alpha, alpha) weights inside the jitted train step and train on
+    # the union of their boxes, each box's loss contribution weighted by
+    # its source image's blend weight (Zhang et al. 2019, "Bag of Freebies
+    # for Training Object Detection Neural Networks", detection mixup).
+    is_mixup: bool = False
+    mixup_alpha: float = 1.5
 
     # piecewise LR schedule (configs.py:14-20).  The check_* arrays are the
     # reference's manual LR-range-finding protocol (configs.py:14-15): set
@@ -245,6 +258,10 @@ class Config:
         tag += "-focal" if self.is_focal_loss else ""
         tag += "-ghm" if self.is_gradient_harmonized else ""
         tag += "-TIOU" if self.is_tiou_recall else ""
+        # roadmap-item flags (beyond the reference's tag vocabulary,
+        # configs.py:73-78 — kept appended so reference tags are a prefix)
+        tag += "-giou" if self.is_giou_loss else ""
+        tag += "-mixup" if self.is_mixup else ""
         return tag
 
     @property

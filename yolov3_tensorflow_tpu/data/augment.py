@@ -128,6 +128,33 @@ def augment_batch(rng, images):
     return _color(x, color)
 
 
+def mixup_batch(rng, images, labels, alpha):
+    """Detection mixup (the reference's unchecked roadmap item,
+    README.md:131; Zhang et al. 2019, "Bag of Freebies for Training
+    Object Detection Neural Networks").
+
+    Each image is blended with a partner drawn by a batch permutation
+    using a per-image ``lam ~ Beta(alpha, alpha)``; the labels become the
+    UNION of both images' boxes — static shape (N, 2M, 5) for XLA — with
+    per-box loss weights lam (own boxes) / 1-lam (partner's), consumed by
+    ``YOLOv3Loss.__call__(..., box_weights=)``.  -1 padding rows pass
+    through and stay masked by ``valid_mask``.
+    """
+    n, m = labels.shape[0], labels.shape[1]
+    k_perm, k_lam = jax.random.split(rng)
+    perm = jax.random.permutation(k_perm, n)
+    lam = jax.random.beta(k_lam, alpha, alpha, (n,), jnp.float32)
+    lam_img = lam.astype(images.dtype)[:, None, None, None]
+    mixed = images * lam_img + images[perm] * (1.0 - lam_img)
+    out_labels = jnp.concatenate([labels, labels[perm]], axis=1)
+    # weights follow image i's blend: lam[i] for its own boxes, 1-lam[i]
+    # for the partner content mixed INTO image i
+    box_w = jnp.concatenate(
+        [jnp.broadcast_to(lam[:, None], (n, m)),
+         jnp.broadcast_to((1.0 - lam)[:, None], (n, m))], axis=1)
+    return mixed, out_labels, box_w
+
+
 def augment_batch_fused(rng, images_u8, dtype):
     """Fused-noise variant: the Pallas kernel (ops/augment_noise.py)
     does uint8-normalize + gaussian + salt-pepper in ONE pass with

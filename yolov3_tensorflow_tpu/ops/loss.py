@@ -39,6 +39,15 @@ every head whose responsible-anchor IOU ties the max across /8, /16, /32
 Early-training rectified coord loss (yolov3_loss.py:140-164): sum of squared
 raw t-values per head while image_count <= rectified_coord_num; the counter
 advances by the batch size only while active (yolov3_loss.py:151-152).
+
+Reference-roadmap extensions (unchecked TODOs in the reference README,
+README.md:127-137 — opt-in, default semantics untouched):
+  * ``cfg.is_giou_loss``: the xy-BCE + wh-MSE pair is replaced by
+    ``scale * (1 - GIOU)`` at the responsible anchors (Rezatofighi et al.,
+    CVPR 2019); reported in the xy breakdown slot, wh slot is 0.
+  * ``box_weights`` (optional (N, M) argument): per-box loss weight
+    multiplied into the assignment mask — the hook mixup uses to weight
+    each box by its source image's blend factor (data/augment.py mixup).
 """
 from __future__ import annotations
 
@@ -196,13 +205,48 @@ class YOLOv3Loss:
                     onehot=onehot, resp=resp, dec=dec, hw=(h, w), b=b)
 
     # ------------------------------------------------------------------ #
-    def __call__(self, raw_heads: Sequence, targets, image_count):
+    @staticmethod
+    def _giou_term(resp, t_grid, scale, wgt):
+        """GIOU coordinate loss (cfg.is_giou_loss — the reference's
+        unchecked roadmap item, README.md:134).
+
+        GIOU = IOU - (enclose - union)/enclose (Rezatofighi et al. 2019);
+        the term is scale * (1 - GIOU) at the responsible anchor, in grid
+        units like the BCE/MSE pair it replaces.  Masked (wgt=0) rows are
+        safe: both areas are >= 0 and the divisions are floor-guarded, so
+        no NaN can leak through the mask's zero gradient.
+        """
+        rw, rh = resp[..., 2], resp[..., 3]
+        rx0, rx1 = resp[..., 0] - rw / 2, resp[..., 0] + rw / 2
+        ry0, ry1 = resp[..., 1] - rh / 2, resp[..., 1] + rh / 2
+        tw, th = t_grid[..., 2], t_grid[..., 3]
+        tx0, tx1 = t_grid[..., 0] - tw / 2, t_grid[..., 0] + tw / 2
+        ty0, ty1 = t_grid[..., 1] - th / 2, t_grid[..., 1] + th / 2
+        ix = jnp.minimum(rx1, tx1) - jnp.maximum(rx0, tx0)
+        iy = jnp.minimum(ry1, ty1) - jnp.maximum(ry0, ty0)
+        inter = jnp.maximum(ix, 0.0) * jnp.maximum(iy, 0.0)
+        union = jnp.maximum(rw * rh + tw * th - inter, _EPS_DIV)
+        ex = jnp.maximum(rx1, tx1) - jnp.minimum(rx0, tx0)
+        ey = jnp.maximum(ry1, ty1) - jnp.minimum(ry0, ty0)
+        enclose = jnp.maximum(ex * ey, _EPS_DIV)
+        giou = inter / union - (enclose - union) / enclose
+        return jnp.mean(jnp.sum(scale * (1.0 - giou) * wgt, axis=1))
+
+    # ------------------------------------------------------------------ #
+    def __call__(self, raw_heads: Sequence, targets, image_count,
+                 box_weights=None):
         cfg = self.cfg
         eps = cfg.epsilon
         if targets.ndim == 2:
             targets = targets.reshape(targets.shape[0], -1, 5)
         targets = targets.astype(jnp.float32)
         valid = valid_mask(targets)  # (N,M)
+        # box_weights scales each box's LOSS contribution only; ``valid``
+        # stays binary so geometry (background suppression via max_iou,
+        # target sanitization) treats a low-weight mixup box as a full
+        # object — a lam=0.1 box must still veto the noobj term around it.
+        bw = (valid if box_weights is None
+              else box_weights.astype(jnp.float32) * valid)
         n = targets.shape[0]
 
         stats = []
@@ -238,12 +282,16 @@ class YOLOv3Loss:
             t_grid = t_grids[i]
             h, w = s["hw"]
             b = s["b"]
-            wgt = assign[i].astype(jnp.float32) * valid  # (N,M)
+            wgt = assign[i].astype(jnp.float32) * bw  # (N,M) loss weights
+            # binary assignment mask — the OBJECT-vs-background decision
+            # ignores box_weights (a low-weight mixup box's responsible
+            # anchor is fully an object, never partially background)
+            wgt_bin = assign[i].astype(jnp.float32) * valid  # (N,M)
 
             # object mask via one-hot einsum (replaces sparse_to_dense)
             bhot = jax.nn.one_hot(s["best_b"], b, dtype=jnp.float32)
             contrib = jax.lax.dot_general(
-                s["onehot"] * wgt[..., None], bhot,
+                s["onehot"] * wgt_bin[..., None], bhot,
                 (((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)  # (N,HW,B)
             obj_mask = jnp.minimum(contrib, 1.0).reshape(n, h * w * b)
@@ -265,21 +313,27 @@ class YOLOv3Loss:
             obj_loss = jnp.mean(jnp.sum(obj * wgt, axis=1))
 
             # coordinate losses (yolov3_loss.py:348-359)
-            scale = (2.0 - t_grid[..., 2] * t_grid[..., 3] / float(h * w))
-            scale = scale[..., None]
-            coord_int = jnp.floor(t_grid[..., 0:2])
-            t_frac = t_grid[..., 0:2] - coord_int
-            p_frac = jnp.clip(resp[..., 0:2] - coord_int, eps, _SAFE_HI)
-            bce = -(t_frac * jnp.log(p_frac)
-                    + (1.0 - t_frac) * jnp.log(1.0 - p_frac))
-            xy_loss = jnp.mean(
-                jnp.sum(scale * bce * wgt[..., None], axis=(1, 2)))
+            scale1 = (2.0 - t_grid[..., 2] * t_grid[..., 3] / float(h * w))
+            scale = scale1[..., None]
+            if cfg.is_giou_loss:
+                # roadmap item README.md:134 — GIOU replaces the BCE/MSE
+                # coordinate pair; the xy weight applies, wh slot is 0
+                xy_loss = self._giou_term(resp, t_grid, scale1, wgt)
+                wh_loss = jnp.zeros((), jnp.float32)
+            else:
+                coord_int = jnp.floor(t_grid[..., 0:2])
+                t_frac = t_grid[..., 0:2] - coord_int
+                p_frac = jnp.clip(resp[..., 0:2] - coord_int, eps, _SAFE_HI)
+                bce = -(t_frac * jnp.log(p_frac)
+                        + (1.0 - t_frac) * jnp.log(1.0 - p_frac))
+                xy_loss = jnp.mean(
+                    jnp.sum(scale * bce * wgt[..., None], axis=(1, 2)))
 
-            t_wh = jnp.where(valid[..., None] > 0, t_grid[..., 2:4], 1.0)
-            wh_sq = jnp.square(jnp.log(t_wh) - jnp.log(
-                jnp.maximum(resp[..., 2:4], _EPS_DIV)))
-            wh_loss = jnp.mean(
-                jnp.sum(scale * wh_sq * wgt[..., None], axis=(1, 2)))
+                t_wh = jnp.where(valid[..., None] > 0, t_grid[..., 2:4], 1.0)
+                wh_sq = jnp.square(jnp.log(t_wh) - jnp.log(
+                    jnp.maximum(resp[..., 2:4], _EPS_DIV)))
+                wh_loss = jnp.mean(
+                    jnp.sum(scale * wh_sq * wgt[..., None], axis=(1, 2)))
 
             if cfg.class_num >= 1:
                 onehot_c = jax.nn.one_hot(t_grid[..., 4].astype(jnp.int32),

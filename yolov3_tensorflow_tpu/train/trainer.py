@@ -30,7 +30,7 @@ import numpy as np
 import optax
 
 from ..config import Config
-from ..data.augment import augment_batch, augment_batch_fused
+from ..data.augment import augment_batch, augment_batch_fused, mixup_batch
 from ..models.detector import build_detector
 from ..models.layers import l2_regularization
 from ..ops.loss import YOLOv3Loss
@@ -195,7 +195,12 @@ class YOLOv3Trainer:
 
         def train_step(state: TrainState, images, labels):
             key = jax.random.wrap_key_data(state.rng, impl="rbg")
-            rng, new_key = jax.random.split(key)
+            if cfg.is_mixup:
+                # 3-way split only when mixup is on so the established
+                # augmentation stream is byte-identical with it off
+                rng, mix_rng, new_key = jax.random.split(key, 3)
+            else:
+                rng, new_key = jax.random.split(key)
             new_rng = jax.random.key_data(new_key)
             if cfg.is_augment and _use_fused_augment(images):
                 # one Pallas pass: u8 read -> normalize + noise -> bf16
@@ -212,12 +217,22 @@ class YOLOv3Trainer:
             else:
                 images = normalize(images)
 
+            box_weights = None
+            if cfg.is_mixup:
+                # roadmap item README.md:131 — blend AFTER photometric
+                # augmentation (pixel-level mixup of the augmented pair);
+                # labels widen to the static (N, 2*max_boxes, 5) union
+                images, labels, box_weights = mixup_batch(
+                    mix_rng, images, labels.astype(jnp.float32),
+                    cfg.mixup_alpha)
+
             def compute(params):
                 heads, mut = model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     images, train=True, mutable=["batch_stats"])
                 total, breakdown, new_count = loss_fn(
-                    heads, labels, state.image_count)
+                    heads, labels, state.image_count,
+                    box_weights=box_weights)
                 kreg, greg = l2_regularization(params)
                 full = total + kreg + greg
                 return full, (mut["batch_stats"], breakdown, new_count,
