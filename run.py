@@ -54,6 +54,8 @@ def build_config(args) -> "Config":
         overrides["is_tiou_recall"] = True
     if args.giou_loss:
         overrides["is_giou_loss"] = True
+    if args.ghm:
+        overrides["is_gradient_harmonized"] = True
     if args.mixup:
         overrides["is_mixup"] = True
     return cfg.replace(**overrides)
@@ -148,6 +150,8 @@ def main(argv=None):
     p.add_argument("--tiou_recall", action="store_true")
     p.add_argument("--giou_loss", action="store_true",
                    help="GIOU box regression (reference roadmap item)")
+    p.add_argument("--ghm", action="store_true",
+                   help="GHM-C confidence loss (reference roadmap item)")
     p.add_argument("--mixup", action="store_true",
                    help="detection mixup (reference roadmap item)")
     p.add_argument("--quant", default=None, choices=["none", "int8"],

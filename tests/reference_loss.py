@@ -66,6 +66,10 @@ def reference_loss(raw_heads, targets, cfg, image_count=10 ** 9,
     weights = np.asarray(cfg.loss_weights)  # (3,5) [xy, wh, noobj, obj, cls]
     per_image = np.zeros((n, 5, 3))
     rect_img = np.zeros((n, 3))
+    ghm = bool(getattr(cfg, "is_gradient_harmonized", False))
+    # GHM-C collection (batch-global per-head density): lists of
+    # (score, target, pos_weight) per participating anchor
+    ghm_cands = [[], [], []]
 
     for img in range(n):
         keep = targets[img][:, 0] >= 0
@@ -136,20 +140,37 @@ def reference_loss(raw_heads, targets, cfg, image_count=10 ** 9,
                             max_iou = max(max_iou, iou)
                         if max_iou < cfg.iou_thresh and \
                                 obj_mask[i, j, k] == 0:
-                            term = -np.log(1 - dec[i, j, k, 4])
-                            if cfg.is_focal_loss:
-                                term *= dec[i, j, k, 4] ** cfg.focal_gamma
-                            noobj += term
+                            if ghm:
+                                ghm_cands[hi].append(
+                                    (dec[i, j, k, 4], 0.0, 0.0))
+                            else:
+                                term = -np.log(1 - dec[i, j, k, 4])
+                                if cfg.is_focal_loss:
+                                    term *= dec[i, j, k, 4] \
+                                        ** cfg.focal_gamma
+                                noobj += term
+            if ghm:
+                # positive candidates at ANCHOR granularity: per-box
+                # weights accumulate per anchor and clip at 1
+                pos_acc = {}
+                for oi in winners:
+                    row, col, bb = resp[hi][oi][:3]
+                    pos_acc[(row, col, bb)] = \
+                        pos_acc.get((row, col, bb), 0.0) + bw_img[oi]
+                for (row, col, bb), w_acc in pos_acc.items():
+                    ghm_cands[hi].append(
+                        (dec[row, col, bb, 4], 1.0, min(w_acc, 1.0)))
             obj = xy = wh = cls = 0.0
             for oi in winners:
                 row, col, bb, _, txy, twh, o = resp[hi][oi]
                 w_o = bw_img[oi]
                 pred = dec[row, col, bb]
-                term = -np.log(pred[4])
-                if cfg.is_focal_loss:
-                    term *= (1 - pred[4]) ** cfg.focal_gamma \
-                        * cfg.focal_alpha
-                obj += w_o * term
+                if not ghm:
+                    term = -np.log(pred[4])
+                    if cfg.is_focal_loss:
+                        term *= (1 - pred[4]) ** cfg.focal_gamma \
+                            * cfg.focal_alpha
+                    obj += w_o * term
                 scale = 2 - twh[0] * twh[1] / (gh * gw)
                 if getattr(cfg, "is_giou_loss", False):
                     # roadmap GIOU (README.md:134): scale * (1 - GIOU)
@@ -188,6 +209,30 @@ def reference_loss(raw_heads, targets, cfg, image_count=10 ** 9,
                 weights[hi, 4] * cls]
 
     loss_mat = per_image.mean(axis=0)  # (5,3)
+    if ghm:
+        # GHM-C: per-head unit-range histogram of g = |score - target|
+        # over the batch's participating anchors; weight each CE by
+        # 1/(bin_count * nonempty_bins); batch-global sums (the weights
+        # sum to 1 across participants — no extra mean over the batch)
+        bins = getattr(cfg, "ghm_bins", 30)
+        for hi in range(3):
+            cands = ghm_cands[hi]
+            noobj_h = obj_h = 0.0
+            if cands:
+                gs = [abs(sc - t) for sc, t, _ in cands]
+                counts = np.zeros(bins)
+                for g in gs:
+                    counts[min(int(g * bins), bins - 1)] += 1.0
+                nonempty = max((counts > 0).sum(), 1.0)
+                for (sc, t, pw), g in zip(cands, gs):
+                    beta = 1.0 / (counts[min(int(g * bins), bins - 1)]
+                                  * nonempty)
+                    if t == 0.0:
+                        noobj_h += -np.log(1 - sc) * beta
+                    else:
+                        obj_h += -np.log(sc) * beta * pw
+            loss_mat[2, hi] = weights[hi, 2] * noobj_h
+            loss_mat[3, hi] = weights[hi, 3] * obj_h
     active = float(image_count <= cfg.rectified_coord_num)
     rect = rect_img.mean(axis=0) * active
     total = loss_mat.sum() + rect.sum()

@@ -224,6 +224,99 @@ def test_box_weights_match_oracle():
     np.testing.assert_allclose(got, ref_bd, rtol=2e-3, atol=1e-5)
 
 
+@pytest.mark.parametrize("class_num", [0, 3])
+def test_ghm_matches_numpy_oracle(class_num):
+    """GHM-C confidence loss (the reference's declared-but-dead flag,
+    configs.py:71 / roadmap README.md:133) vs the independently-looped
+    oracle branch."""
+    cfg = _mk_cfg(class_num=class_num, is_gradient_harmonized=True,
+                  rectified_coord_num=100)
+    heads = _random_heads(cfg, 2, seed=31 + class_num)
+    targets = _targets(2, 3, {
+        (0, 0): [0.5, 0.5, 0.25, 0.3, min(1, class_num and 1)],
+        (0, 1): [0.2, 0.7, 0.1, 0.15, 0],
+        (1, 0): [0.8, 0.3, 0.4, 0.5, min(2, max(0, class_num - 1))],
+    })
+    loss = YOLOv3Loss(cfg)
+    total, bd, _ = jax.jit(loss)(heads, targets, jnp.asarray(0, jnp.int32))
+    ref_total, ref_bd, _ = reference_loss(
+        [np.asarray(h) for h in heads], np.asarray(targets), cfg,
+        image_count=0)
+    np.testing.assert_allclose(float(total), ref_total, rtol=2e-4)
+    got = np.stack([np.asarray(bd[k]) for k in (
+        "rectified_coord_loss", "coord_loss_xy", "coord_loss_wh",
+        "noobj_iou_loss", "obj_iou_loss", "class_loss")])
+    np.testing.assert_allclose(got, ref_bd, rtol=2e-3, atol=1e-5)
+    assert np.asarray(bd["noobj_iou_loss"]).sum() > 0
+    assert np.asarray(bd["obj_iou_loss"]).sum() > 0
+
+
+def test_ghm_with_box_weights_matches_oracle():
+    """GHM composes with mixup's per-box weights: positive anchors carry
+    the accumulated clipped weight; the histogram stays binary."""
+    cfg = _mk_cfg(class_num=3, is_gradient_harmonized=True,
+                  rectified_coord_num=-1)
+    heads = _random_heads(cfg, 2, seed=17)
+    targets = _targets(2, 3, {
+        (0, 0): [0.5, 0.5, 0.25, 0.3, 1],
+        (0, 1): [0.2, 0.7, 0.1, 0.15, 0],
+        (1, 0): [0.8, 0.3, 0.4, 0.5, 2],
+    })
+    w = np.asarray([[0.3, 0.9, 0.5], [0.7, 1.0, 1.0]], np.float32)
+    loss = YOLOv3Loss(cfg)
+    total, bd, _ = loss(heads, targets, jnp.asarray(10 ** 9, jnp.int32),
+                        box_weights=jnp.asarray(w))
+    ref_total, ref_bd, _ = reference_loss(
+        [np.asarray(h) for h in heads], np.asarray(targets), cfg,
+        box_weights=w)
+    np.testing.assert_allclose(float(total), ref_total, rtol=2e-4)
+    got = np.stack([np.asarray(bd[k]) for k in (
+        "rectified_coord_loss", "coord_loss_xy", "coord_loss_wh",
+        "noobj_iou_loss", "obj_iou_loss", "class_loss")])
+    np.testing.assert_allclose(got, ref_bd, rtol=2e-3, atol=1e-5)
+
+
+def test_ghm_gradients_finite_at_extreme_logits():
+    cfg = _mk_cfg(is_gradient_harmonized=True)
+    t = _targets(1, 3, {(0, 0): [0.5, 0.5, 0.2, 0.2, 0]})
+    loss = YOLOv3Loss(cfg)
+
+    def total(hs):
+        l, _, _ = loss(hs, t, jnp.asarray(10 ** 9, jnp.int32))
+        return l
+
+    for v in (-120.0, 120.0):
+        heads = [jnp.full((1, h, w, c), v)
+                 for (h, w), c in zip(cfg.head_grid_sizes,
+                                      cfg.head_channel_nums)]
+        assert bool(jnp.isfinite(total(heads)))
+        grads = jax.grad(total)(heads)
+        assert all(bool(jnp.all(jnp.isfinite(g))) for g in grads)
+
+
+def test_ghm_weights_sum_to_one_per_head():
+    """Invariant from the normalization: summed over all participating
+    candidates, the GHM weights are exactly 1 per head — so the noobj+obj
+    total is a weighted MEAN of the per-candidate CEs and sits between
+    the min and max candidate CE."""
+    cfg = _mk_cfg(class_num=0, is_gradient_harmonized=True,
+                  rectified_coord_num=-1)
+    # uniform logits: all background candidates share one bin -> every
+    # weight = 1/count, and the noobj term equals the plain mean CE
+    heads = [jnp.zeros((1, h, w, c))
+             for (h, w), c in zip(cfg.head_grid_sizes,
+                                  cfg.head_channel_nums)]
+    t = _targets(1, 3, {})  # no objects: all anchors are background
+    loss = YOLOv3Loss(cfg)
+    _, bd, _ = loss(heads, t, jnp.asarray(10 ** 9, jnp.int32))
+    w_noobj = np.asarray([r[2] for r in cfg.loss_weights])
+    # sigmoid(0) = 0.5 -> CE = -log(0.5) at every candidate; the weighted
+    # mean of a constant is that constant
+    np.testing.assert_allclose(
+        np.asarray(bd["noobj_iou_loss"]),
+        w_noobj * (-np.log(0.5)), rtol=1e-5)
+
+
 def test_mixup_duplicate_union_equals_base():
     """The mixup label transform is loss-invariant in the degenerate
     self-pair case: union of a label set with itself, weighted lam and

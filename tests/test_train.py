@@ -129,6 +129,21 @@ def test_giou_step_runs_and_descends():
     assert float(np.asarray(m["coord_loss_wh"]).sum()) == 0.0
 
 
+def test_ghm_step_runs_and_descends():
+    """Roadmap-item integration (README.md:133): a GHM-C train step must
+    run and descend."""
+    cfg = _cfg(is_gradient_harmonized=True)
+    tr = YOLOv3Trainer(cfg, restore=False,
+                       checkpoint_dir=tempfile.mkdtemp())
+    images, labels = _batch(8)
+    losses = []
+    for _ in range(5):
+        tr.state, m = tr.train_step(tr.state, images, labels)
+        losses.append(float(m["total_loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+
+
 def test_lr_schedule_follows_actual_steps_per_epoch():
     """train(steps_per_epoch=N) must re-derive the LR schedule so the
     piecewise boundaries fire at the right real epochs (reference: the

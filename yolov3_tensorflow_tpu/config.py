@@ -109,15 +109,24 @@ class Config:
     # is_label_smoothing is declared-but-dead in the reference (configs.py:67
     # only feeds the run tag); here it is actually wired: the class CE target
     # becomes onehot*(1-eps) + eps/C (classification only, the standard
-    # formulation).  is_gradient_harmonized remains unwired like the
-    # reference (configs.py:71) — a faithful GHM needs validation data this
-    # repo doesn't carry; documented future work in both codebases.
+    # formulation).  is_gradient_harmonized is likewise declared-but-dead in
+    # the reference (configs.py:71, README.md:133 roadmap) and wired here:
+    # GHM-C (Li et al., AAAI 2019) on the confidence terms — per head, the
+    # participating anchors' (background + object) gradient norms
+    # g = |score - target| are binned into ghm_bins unit-range bins and each
+    # candidate's CE is weighted 1/(bin_count * nonempty_bins) (the official
+    # implementation's normalization, batch-local density, no EMA).  The
+    # noobj/obj breakdown slots report the harmonized terms (batch-global
+    # sums — the density already normalizes across the batch); coord/class
+    # terms are untouched; when both focal and GHM are set, GHM takes the
+    # confidence terms (they are alternative re-weightings of the same CE).
     is_label_smoothing: bool = False
     label_smoothing_eps: float = 0.1
     is_focal_loss: bool = False
     focal_alpha: float = 1.0
     focal_gamma: float = 2.0
     is_gradient_harmonized: bool = False
+    ghm_bins: int = 30  # unit-range gradient-norm bins (paper's M)
     is_tiou_recall: bool = False
     # --- reference roadmap items (unchecked TODOs, README.md:127-137) ---
     # GIOU box regression (README.md:134 "GIOU"): replaces the xy-BCE +

@@ -48,6 +48,10 @@ README.md:127-137 — opt-in, default semantics untouched):
   * ``box_weights`` (optional (N, M) argument): per-box loss weight
     multiplied into the assignment mask — the hook mixup uses to weight
     each box by its source image's blend factor (data/augment.py mixup).
+  * ``cfg.is_gradient_harmonized``: GHM-C on the confidence terms
+    (Li et al., AAAI 2019) — the reference declares this flag but never
+    wires it (configs.py:71); here it is implemented (see the branch in
+    ``__call__`` and the config comment for the exact normalization).
 """
 from __future__ import annotations
 
@@ -299,18 +303,50 @@ class YOLOv3Loss:
                 jnp.float32) * (1.0 - obj_mask)
 
             score = s["dec"]["score"]  # (N,HWB)
-            noobj = -jnp.log(1.0 - score)
-            if cfg.is_focal_loss:
-                noobj = noobj * jnp.power(score, cfg.focal_gamma)
-            noobj_loss = jnp.mean(jnp.sum(noobj * background, axis=1))
-
             resp = s["resp"]  # (N,M,K)
-            resp_score = resp[..., 4]
-            obj = -jnp.log(resp_score)
-            if cfg.is_focal_loss:
-                obj = obj * (jnp.power(1.0 - resp_score, cfg.focal_gamma)
-                             * cfg.focal_alpha)
-            obj_loss = jnp.mean(jnp.sum(obj * wgt, axis=1))
+            if cfg.is_gradient_harmonized:
+                # GHM-C (Li et al., AAAI 2019) — the reference's
+                # declared-but-dead flag (configs.py:71) / roadmap item
+                # (README.md:133), wired per the official implementation:
+                # participating anchors = background + object (binary,
+                # disjoint); g = |score - target|; density = batch-global
+                # per-head histogram; each candidate's CE is weighted
+                # 1/(bin_count * nonempty_bins) with the density detached.
+                # The weights sum to exactly 1 over participants, so the
+                # terms are batch-global sums (no extra mean-over-batch).
+                # Positive anchors carry the accumulated per-box mixup
+                # weight (clipped at 1) so box_weights compose.
+                posw = jax.lax.dot_general(
+                    s["onehot"] * wgt[..., None], bhot,
+                    (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                posw = jnp.minimum(posw, 1.0).reshape(n, h * w * b)
+                part = background + obj_mask  # binary, disjoint
+                g = jnp.abs(score - obj_mask)
+                bins = cfg.ghm_bins
+                idx = jnp.clip((g * bins).astype(jnp.int32), 0, bins - 1)
+                counts = jnp.zeros((bins,), jnp.float32).at[
+                    idx.reshape(-1)].add(part.reshape(-1))
+                nonempty = jnp.maximum(
+                    jnp.sum((counts > 0.0).astype(jnp.float32)), 1.0)
+                beta = 1.0 / (jnp.maximum(counts, 1.0) * nonempty)
+                w_cand = jax.lax.stop_gradient(beta[idx])  # (N,HWB)
+                noobj_loss = jnp.sum(
+                    -jnp.log(1.0 - score) * w_cand * background)
+                obj_loss = jnp.sum(-jnp.log(score) * w_cand * posw)
+            else:
+                noobj = -jnp.log(1.0 - score)
+                if cfg.is_focal_loss:
+                    noobj = noobj * jnp.power(score, cfg.focal_gamma)
+                noobj_loss = jnp.mean(jnp.sum(noobj * background, axis=1))
+
+                resp_score = resp[..., 4]
+                obj = -jnp.log(resp_score)
+                if cfg.is_focal_loss:
+                    obj = obj * (jnp.power(1.0 - resp_score,
+                                           cfg.focal_gamma)
+                                 * cfg.focal_alpha)
+                obj_loss = jnp.mean(jnp.sum(obj * wgt, axis=1))
 
             # coordinate losses (yolov3_loss.py:348-359)
             scale1 = (2.0 - t_grid[..., 2] * t_grid[..., 3] / float(h * w))
