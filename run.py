@@ -58,6 +58,8 @@ def build_config(args) -> "Config":
         overrides["is_gradient_harmonized"] = True
     if args.mixup:
         overrides["is_mixup"] = True
+    if args.gaussian_yolo:
+        overrides["is_gaussian_yolo"] = True
     return cfg.replace(**overrides)
 
 
@@ -154,6 +156,8 @@ def main(argv=None):
                    help="GHM-C confidence loss (reference roadmap item)")
     p.add_argument("--mixup", action="store_true",
                    help="detection mixup (reference roadmap item)")
+    p.add_argument("--gaussian_yolo", action="store_true",
+                   help="Gaussian YOLO uncertainty head (roadmap item)")
     p.add_argument("--quant", default=None, choices=["none", "int8"],
                    help="post-training int8 inference (test/predict "
                         "modes): eligible convs run int8 with scales "

@@ -27,10 +27,18 @@ def _iou_corner(a, b):
     return inter / (area_a + area_b - inter), inter, area_b
 
 
-def decode_head_np(raw, anchors_grid, class_num):
-    """raw (H,W,B,5+C) -> decoded (H,W,B,5+C) and corner boxes."""
+def decode_head_np(raw, anchors_grid, class_num, gaussian=False):
+    """raw (H,W,B,box_len) -> decoded (H,W,B,5+C) and corner boxes.
+
+    With ``gaussian`` (Gaussian YOLO layout [t_xywh, sigma_xywh, obj,
+    cls]) the decoded array keeps the standard 5+C layout (score = plain
+    objectness sigmoid, as the LOSS consumes it) and the per-anchor
+    sigmoid sigmas are returned as a third (H,W,B,4) array.
+    """
     h, w, b, _ = raw.shape
-    dec = np.zeros_like(raw)
+    si = 8 if gaussian else 4
+    dec = np.zeros(raw.shape[:3] + (5 + class_num,))
+    sig = np.zeros((h, w, b, 4))
     boxes = np.zeros((h, w, b, 4))
     for i in range(h):
         for j in range(w):
@@ -38,16 +46,20 @@ def decode_head_np(raw, anchors_grid, class_num):
                 t = raw[i, j, k]
                 xy = np.clip(_sigmoid(t[0:2]), EPS, 1 - EPS) + [j, i]
                 wh = np.exp(t[2:4]) * anchors_grid[k]
-                sc = np.clip(_sigmoid(t[4]), EPS, 1 - EPS)
+                sc = np.clip(_sigmoid(t[si]), EPS, 1 - EPS)
                 dec[i, j, k, 0:2] = xy
                 dec[i, j, k, 2:4] = wh
                 dec[i, j, k, 4] = sc
+                if gaussian:
+                    sig[i, j, k] = np.clip(_sigmoid(t[4:8]), EPS, 1 - EPS)
                 if class_num >= 1:
-                    logits = t[5:] - t[5:].max()
+                    logits = t[si + 1:] - t[si + 1:].max()
                     p = np.exp(logits) / np.exp(logits).sum()
                     dec[i, j, k, 5:] = np.clip(p, EPS, 1 - EPS)
                 boxes[i, j, k] = [xy[0] - wh[0] / 2, xy[1] - wh[1] / 2,
                                   xy[0] + wh[0] / 2, xy[1] + wh[1] / 2]
+    if gaussian:
+        return dec, boxes, sig
     return dec, boxes
 
 
@@ -67,6 +79,7 @@ def reference_loss(raw_heads, targets, cfg, image_count=10 ** 9,
     per_image = np.zeros((n, 5, 3))
     rect_img = np.zeros((n, 3))
     ghm = bool(getattr(cfg, "is_gradient_harmonized", False))
+    gauss = bool(getattr(cfg, "is_gaussian_yolo", False))
     # GHM-C collection (batch-global per-head density): lists of
     # (score, target, pos_weight) per participating anchor
     ghm_cands = [[], [], []]
@@ -76,7 +89,7 @@ def reference_loss(raw_heads, targets, cfg, image_count=10 ** 9,
         tgt = targets[img][keep]
         bw_img = (np.ones(len(tgt)) if box_weights is None
                   else np.asarray(box_weights[img])[keep])
-        decs, boxess, resp = [], [], []
+        decs, boxess, sigs, resp = [], [], [], []
         for hi in range(3):
             gh, gw = grids[hi]
             bnum = len(cfg.anchor_boxes[hi])
@@ -84,7 +97,14 @@ def reference_loss(raw_heads, targets, cfg, image_count=10 ** 9,
                 gh, gw, bnum, cfg.box_len)
             rect_img[img, hi] = cfg.rectified_loss_weight[hi] * np.sum(
                 raw[..., 0:4] ** 2)
-            dec, boxes = decode_head_np(raw, anchors[hi], cfg.class_num)
+            if gauss:
+                dec, boxes, sg = decode_head_np(
+                    raw, anchors[hi], cfg.class_num, gaussian=True)
+                sigs.append(sg)
+            else:
+                dec, boxes = decode_head_np(raw, anchors[hi],
+                                            cfg.class_num)
+                sigs.append(None)
             decs.append(dec)
             boxess.append(boxes)
             # responsible stats per object
@@ -172,7 +192,20 @@ def reference_loss(raw_heads, targets, cfg, image_count=10 ** 9,
                             * cfg.focal_alpha
                     obj += w_o * term
                 scale = 2 - twh[0] * twh[1] / (gh * gw)
-                if getattr(cfg, "is_giou_loss", False):
+                if gauss:
+                    # Gaussian YOLO NLL (roadmap README.md:135), same
+                    # residual space as the BCE/MSE pair
+                    sg = sigs[hi][row, col, bb]
+                    ci = np.floor(txy)
+                    tf_ = txy - ci
+                    pf = np.clip(pred[0:2] - ci, EPS, 1 - EPS)
+                    d = np.concatenate(
+                        [tf_ - pf, np.log(twh) - np.log(pred[2:4])])
+                    nll = (0.5 * np.log(2 * np.pi * sg ** 2)
+                           + d ** 2 / (2 * sg ** 2))
+                    xy += w_o * scale * np.sum(nll[0:2])
+                    wh += w_o * scale * np.sum(nll[2:4])
+                elif getattr(cfg, "is_giou_loss", False):
                     # roadmap GIOU (README.md:134): scale * (1 - GIOU)
                     pbox = boxes[row, col, bb]
                     tbox = np.asarray([

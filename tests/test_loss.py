@@ -251,6 +251,57 @@ def test_ghm_matches_numpy_oracle(class_num):
     assert np.asarray(bd["obj_iou_loss"]).sum() > 0
 
 
+@pytest.mark.parametrize("class_num", [0, 3])
+def test_gaussian_yolo_matches_numpy_oracle(class_num):
+    """Gaussian YOLO NLL coordinates (reference roadmap README.md:135)
+    vs the independently-looped oracle branch."""
+    cfg = _mk_cfg(class_num=class_num, is_gaussian_yolo=True,
+                  rectified_coord_num=100)
+    assert cfg.box_len == 9 + class_num
+    heads = _random_heads(cfg, 2, seed=41 + class_num)
+    targets = _targets(2, 3, {
+        (0, 0): [0.5, 0.5, 0.25, 0.3, min(1, class_num and 1)],
+        (0, 1): [0.2, 0.7, 0.1, 0.15, 0],
+        (1, 0): [0.8, 0.3, 0.4, 0.5, min(2, max(0, class_num - 1))],
+    })
+    loss = YOLOv3Loss(cfg)
+    total, bd, cnt = jax.jit(loss)(heads, targets,
+                                   jnp.asarray(0, jnp.int32))
+    ref_total, ref_bd, ref_cnt = reference_loss(
+        [np.asarray(h) for h in heads], np.asarray(targets), cfg,
+        image_count=0)
+    np.testing.assert_allclose(float(total), ref_total, rtol=2e-4)
+    got = np.stack([np.asarray(bd[k]) for k in (
+        "rectified_coord_loss", "coord_loss_xy", "coord_loss_wh",
+        "noobj_iou_loss", "obj_iou_loss", "class_loss")])
+    np.testing.assert_allclose(got, ref_bd, rtol=2e-3, atol=1e-5)
+    assert int(cnt) == ref_cnt
+
+
+def test_gaussian_yolo_gradients_finite_at_extreme_logits():
+    cfg = _mk_cfg(is_gaussian_yolo=True, class_num=2)
+    t = _targets(1, 3, {(0, 0): [0.5, 0.5, 0.2, 0.2, 0]})
+    loss = YOLOv3Loss(cfg)
+
+    def total(hs):
+        l, _, _ = loss(hs, t, jnp.asarray(10 ** 9, jnp.int32))
+        return l
+
+    for v in (-120.0, 120.0):
+        heads = [jnp.full((1, h, w, c), v)
+                 for (h, w), c in zip(cfg.head_grid_sizes,
+                                      cfg.head_channel_nums)]
+        assert bool(jnp.isfinite(total(heads)))
+        grads = jax.grad(total)(heads)
+        assert all(bool(jnp.all(jnp.isfinite(g))) for g in grads)
+
+
+def test_gaussian_and_giou_mutually_exclusive():
+    cfg = _mk_cfg(is_gaussian_yolo=True, is_giou_loss=True)
+    with pytest.raises(ValueError):
+        YOLOv3Loss(cfg)
+
+
 def test_ghm_with_box_weights_matches_oracle():
     """GHM composes with mixup's per-box weights: positive anchors carry
     the accumulated clipped weight; the histogram stays binary."""

@@ -129,6 +129,28 @@ def test_giou_step_runs_and_descends():
     assert float(np.asarray(m["coord_loss_wh"]).sum()) == 0.0
 
 
+def test_gaussian_yolo_trains_and_predicts():
+    """Roadmap-item integration (README.md:135): Gaussian YOLO widens
+    the heads to 9+C channels per anchor; training must descend and the
+    predict path (decoder certainty scaling + NMS) must run on the wider
+    heads."""
+    cfg = _cfg(is_gaussian_yolo=True, class_num=2)
+    tr = YOLOv3Trainer(cfg, restore=False,
+                       checkpoint_dir=tempfile.mkdtemp())
+    images, labels = _batch(8)
+    losses = []
+    for _ in range(5):
+        tr.state, m = tr.train_step(tr.state, images, labels)
+        losses.append(float(m["total_loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+    heads = tr.predict(images[:2])
+    assert heads[0].shape[-1] == cfg.head_channel_nums[0]
+    from yolov3_tensorflow_tpu.ops.nms import BatchedNMS
+    det = BatchedNMS(cfg)(heads)
+    assert det.shape[0] == 2 and np.all(np.isfinite(np.asarray(det)))
+
+
 def test_ghm_step_runs_and_descends():
     """Roadmap-item integration (README.md:133): a GHM-C train step must
     run and descend."""

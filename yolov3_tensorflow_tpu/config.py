@@ -141,6 +141,18 @@ class Config:
     # for Training Object Detection Neural Networks", detection mixup).
     is_mixup: bool = False
     mixup_alpha: float = 1.5
+    # Gaussian YOLO (README.md:135 "Guassian YOLO"; Choi et al., ICCV
+    # 2019): each anchor additionally predicts 4 localization
+    # uncertainties — per-anchor layout [t_x,t_y,t_w,t_h,
+    # sigma_x,sigma_y,sigma_w,sigma_h, obj, classes...], box_len = 9+C.
+    # Training: the xy-BCE + wh-MSE pair becomes per-coordinate Gaussian
+    # NLL (sigma = sigmoid of the raw channel), same scale/assignment
+    # weighting; obj/noobj/class terms unchanged.  Inference: the decoded
+    # objectness is multiplied by the localization certainty
+    # (1 - mean sigma), the paper's detection criterion — NMS/post-process
+    # consume the standard decoded layout unchanged.  Mutually exclusive
+    # with is_giou_loss (both replace the coordinate pair).
+    is_gaussian_yolo: bool = False
 
     # piecewise LR schedule (configs.py:14-20).  The check_* arrays are the
     # reference's manual LR-range-finding protocol (configs.py:14-15): set
@@ -244,7 +256,8 @@ class Config:
 
     @property
     def box_len(self) -> int:
-        return 4 + 1 + self.class_num
+        # +4 sigma channels when Gaussian YOLO is on (README.md:135)
+        return 4 + (4 if self.is_gaussian_yolo else 0) + 1 + self.class_num
 
     @property
     def head_channel_nums(self) -> Tuple[int, ...]:
@@ -271,6 +284,7 @@ class Config:
         # configs.py:73-78 — kept appended so reference tags are a prefix)
         tag += "-giou" if self.is_giou_loss else ""
         tag += "-mixup" if self.is_mixup else ""
+        tag += "-gaussian" if self.is_gaussian_yolo else ""
         return tag
 
     @property

@@ -46,8 +46,17 @@ def anchors_in_grid_units(anchor_boxes, grid_hw) -> np.ndarray:
         [w, h], np.float32)
 
 
-def decode_single_head(raw, left_top, anchors, class_num: int, eps: float):
-    """raw: (N, H, W, B, 5+C) -> (raw_txywh, decoded, corner_boxes)."""
+def decode_single_head(raw, left_top, anchors, class_num: int, eps: float,
+                       gaussian: bool = False):
+    """raw: (N, H, W, B, box_len) -> (raw_txywh, decoded, corner_boxes).
+
+    With ``gaussian`` (Gaussian YOLO, config.is_gaussian_yolo) the raw
+    layout is [t_xywh, sigma_xywh, obj, classes] and the decoded
+    objectness is multiplied by the localization certainty
+    (1 - mean sigma), Choi et al. ICCV 2019's detection criterion — the
+    DECODED layout stays [xy, wh, score, probs] so every downstream
+    consumer (NMS, post-process, evaluator) works unchanged.
+    """
     raw = raw.astype(jnp.float32)
     # jax.nn.sigmoid for a gradient that is finite at extreme logits
     # (see ops/loss.py _flat_decode note)
@@ -56,9 +65,14 @@ def decode_single_head(raw, left_top, anchors, class_num: int, eps: float):
     xy = xy + left_top
     # exp clamp mirrors ops/loss.py: overflow guard, inactive normally
     wh = jnp.exp(jnp.clip(raw[..., 2:4], -15.0, 15.0)) * anchors
-    score = jnp.clip(jax.nn.sigmoid(raw[..., 4:5]), eps, hi)
+    si = 8 if gaussian else 4
+    score = jnp.clip(jax.nn.sigmoid(raw[..., si:si + 1]), eps, hi)
+    if gaussian:
+        sigma = jnp.clip(jax.nn.sigmoid(raw[..., 4:8]), eps, hi)
+        certainty = 1.0 - jnp.mean(sigma, axis=-1, keepdims=True)
+        score = jnp.clip(score * certainty, eps, hi)
     if class_num >= 1:
-        probs = jnp.clip(jax.nn.softmax(raw[..., 5:], axis=-1),
+        probs = jnp.clip(jax.nn.softmax(raw[..., si + 1:], axis=-1),
                          eps, hi)
         decoded = jnp.concatenate([xy, wh, score, probs], axis=-1)
     else:
@@ -97,5 +111,6 @@ class YOLOv3Decoder:
                 raw = self._reshape(raw, i)
             out.append(decode_single_head(raw, self.left_tops[i],
                                           self.anchors[i], self.class_num,
-                                          self.cfg.epsilon))
+                                          self.cfg.epsilon,
+                                          self.cfg.is_gaussian_yolo))
         return out

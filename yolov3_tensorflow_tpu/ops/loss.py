@@ -48,6 +48,9 @@ README.md:127-137 — opt-in, default semantics untouched):
   * ``box_weights`` (optional (N, M) argument): per-box loss weight
     multiplied into the assignment mask — the hook mixup uses to weight
     each box by its source image's blend factor (data/augment.py mixup).
+  * ``cfg.is_gaussian_yolo``: Gaussian YOLO (Choi et al., ICCV 2019) —
+    4 extra sigma channels per anchor; the xy/wh pair becomes
+    per-coordinate Gaussian NLL (see the branch in ``__call__``).
   * ``cfg.is_gradient_harmonized``: GHM-C on the confidence terms
     (Li et al., AAAI 2019) — the reference declares this flag but never
     wires it (configs.py:71); here it is implemented (see the branch in
@@ -75,16 +78,20 @@ _EPS_DIV = 1e-12
 _SAFE_HI = float(np.float32(1.0) - np.float32(1e-7))
 
 
-def _flat_decode(raw, grid_hw, anchors, class_num, eps):
+def _flat_decode(raw, grid_hw, anchors, class_num, eps, gaussian=False):
     """Decode one head into flat component arrays.
 
     raw: (N, H, W, B*L).  Returns dict of (N, HWB) arrays plus optional
     class probs (N, HWB, C), matching yolov3_decoder.py:142-192 math.
+    With ``gaussian`` the layout is [t_xywh, sigma_xywh, obj, classes]
+    (config.is_gaussian_yolo); the loss's objectness stays the PLAIN
+    sigmoid — the certainty product is an inference-criterion only.
     """
     h, w = grid_hw
     b = anchors.shape[0]
     n = raw.shape[0]
-    box_len = 4 + 1 + class_num
+    si = 8 if gaussian else 4  # objectness channel index
+    box_len = si + 1 + class_num
     raw = raw.astype(jnp.float32).reshape(n, h * w * b, box_len)
     hwb = h * w * b
 
@@ -108,12 +115,14 @@ def _flat_decode(raw, grid_hw, anchors, class_num, eps):
     # overflows f32 there and NaN-poisons the weights permanently)
     pw = jnp.exp(jnp.clip(raw[..., 2], -15.0, 15.0)) * aw
     ph = jnp.exp(jnp.clip(raw[..., 3], -15.0, 15.0)) * ah
-    score = sig(raw[..., 4])
+    score = sig(raw[..., si])
     out = dict(px=px, py=py, pw=pw, ph=ph, score=score, raw=raw,
                x0=px - pw / 2, y0=py - ph / 2,
                x1=px + pw / 2, y1=py + ph / 2)
+    if gaussian:
+        out["sigma"] = sig(raw[..., 4:8])  # (N,HWB,4) in [eps, 1)
     if class_num >= 1:
-        out["probs"] = jnp.clip(jax.nn.softmax(raw[..., 5:], axis=-1),
+        out["probs"] = jnp.clip(jax.nn.softmax(raw[..., si + 1:], axis=-1),
                                 eps, _SAFE_HI)
     return out
 
@@ -123,7 +132,14 @@ class YOLOv3Loss:
     -> (total, breakdown, new_image_count)."""
 
     def __init__(self, cfg: Config):
+        if cfg.is_gaussian_yolo and cfg.is_giou_loss:
+            raise ValueError(
+                "is_gaussian_yolo and is_giou_loss both replace the "
+                "coordinate loss pair — enable at most one")
         self.cfg = cfg
+        # index of the objectness channel in the resp gather / raw layout
+        # (after the 4 sigma channels when Gaussian YOLO is on)
+        self.si = 8 if cfg.is_gaussian_yolo else 4
         # loss_weights rows are per-head [xy, wh, noobj, obj, cls]
         # (configs.py:52, yolov3_loss.py:46-47)
         self.weights = jnp.asarray(cfg.loss_weights, jnp.float32)  # (3,5)
@@ -146,7 +162,8 @@ class YOLOv3Loss:
         b = len(cfg.anchor_boxes[head_idx])
         n, m = valid.shape
         dec = _flat_decode(raw, (h, w), self.anchors[head_idx],
-                           cfg.class_num, cfg.epsilon)
+                           cfg.class_num, cfg.epsilon,
+                           gaussian=cfg.is_gaussian_yolo)
         hwb = h * w * b
 
         # --- every-candidate IOU vs every GT (background statistic) ---
@@ -173,7 +190,12 @@ class YOLOv3Loss:
 
         # gather decoded at responsible cells via one matmul: components
         # packed (N, HW, B*K)
-        comps = [dec["px"], dec["py"], dec["pw"], dec["ph"], dec["score"]]
+        comps = [dec["px"], dec["py"], dec["pw"], dec["ph"]]
+        if cfg.is_gaussian_yolo:
+            # the 4 sigma channels ride the same one-hot gather so the
+            # NLL branch reads them at resp[..., 4:8]
+            comps += [dec["sigma"][..., j] for j in range(4)]
+        comps.append(dec["score"])
         if cfg.class_num >= 1:
             probs = dec["probs"]  # (N,HWB,C)
             comp_mat = jnp.concatenate(
@@ -340,7 +362,7 @@ class YOLOv3Loss:
                     noobj = noobj * jnp.power(score, cfg.focal_gamma)
                 noobj_loss = jnp.mean(jnp.sum(noobj * background, axis=1))
 
-                resp_score = resp[..., 4]
+                resp_score = resp[..., self.si]
                 obj = -jnp.log(resp_score)
                 if cfg.is_focal_loss:
                     obj = obj * (jnp.power(1.0 - resp_score,
@@ -356,6 +378,29 @@ class YOLOv3Loss:
                 # coordinate pair; the xy weight applies, wh slot is 0
                 xy_loss = self._giou_term(resp, t_grid, scale1, wgt)
                 wh_loss = jnp.zeros((), jnp.float32)
+            elif cfg.is_gaussian_yolo:
+                # roadmap item README.md:135 — per-coordinate Gaussian
+                # NLL (Choi et al. 2019): delta in the SAME residual
+                # space as the BCE/MSE pair (cell-relative frac for xy,
+                # log-ratio for wh), sigma = sigmoid in [eps, 1) from
+                # the resp gather; masked rows sanitized like the
+                # default branch so no NaN leaks through the mask.
+                sig_r = resp[..., 4:8]  # (N,M,4)
+                coord_int = jnp.floor(t_grid[..., 0:2])
+                t_frac = t_grid[..., 0:2] - coord_int
+                p_frac = jnp.clip(resp[..., 0:2] - coord_int,
+                                  eps, _SAFE_HI)
+                t_wh = jnp.where(valid[..., None] > 0,
+                                 t_grid[..., 2:4], 1.0)
+                d_wh = jnp.log(t_wh) - jnp.log(
+                    jnp.maximum(resp[..., 2:4], _EPS_DIV))
+                delta = jnp.concatenate([t_frac - p_frac, d_wh], axis=-1)
+                nll = (0.5 * jnp.log(2.0 * jnp.pi * jnp.square(sig_r))
+                       + jnp.square(delta) / (2.0 * jnp.square(sig_r)))
+                xy_loss = jnp.mean(jnp.sum(
+                    scale * nll[..., 0:2] * wgt[..., None], axis=(1, 2)))
+                wh_loss = jnp.mean(jnp.sum(
+                    scale * nll[..., 2:4] * wgt[..., None], axis=(1, 2)))
             else:
                 coord_int = jnp.floor(t_grid[..., 0:2])
                 t_frac = t_grid[..., 0:2] - coord_int
@@ -379,7 +424,7 @@ class YOLOv3Loss:
                     e = cfg.label_smoothing_eps
                     onehot_c = onehot_c * (1.0 - e) + e / cfg.class_num
                 ce = -onehot_c * jnp.log(
-                    jnp.clip(resp[..., 5:], eps, 1.0))
+                    jnp.clip(resp[..., self.si + 1:], eps, 1.0))
                 cls_loss = jnp.mean(
                     jnp.sum(ce * wgt[..., None], axis=(1, 2)))
             else:
