@@ -296,6 +296,32 @@ def test_gaussian_yolo_gradients_finite_at_extreme_logits():
         assert all(bool(jnp.all(jnp.isfinite(g))) for g in grads)
 
 
+def test_gaussian_with_focal_and_box_weights_matches_oracle():
+    """Feature composition: Gaussian NLL coordinates x mixup box
+    weights x focal confidence — each multiplies a different term, so
+    the composed loss must still match the independently-looped oracle."""
+    cfg = _mk_cfg(class_num=3, is_gaussian_yolo=True, is_focal_loss=True,
+                  rectified_coord_num=-1)
+    heads = _random_heads(cfg, 2, seed=23)
+    targets = _targets(2, 3, {
+        (0, 0): [0.5, 0.5, 0.25, 0.3, 1],
+        (0, 1): [0.2, 0.7, 0.1, 0.15, 0],
+        (1, 0): [0.8, 0.3, 0.4, 0.5, 2],
+    })
+    w = np.asarray([[0.4, 0.8, 0.5], [0.6, 1.0, 1.0]], np.float32)
+    loss = YOLOv3Loss(cfg)
+    total, bd, _ = loss(heads, targets, jnp.asarray(10 ** 9, jnp.int32),
+                        box_weights=jnp.asarray(w))
+    ref_total, ref_bd, _ = reference_loss(
+        [np.asarray(h) for h in heads], np.asarray(targets), cfg,
+        box_weights=w)
+    np.testing.assert_allclose(float(total), ref_total, rtol=2e-4)
+    got = np.stack([np.asarray(bd[k]) for k in (
+        "rectified_coord_loss", "coord_loss_xy", "coord_loss_wh",
+        "noobj_iou_loss", "obj_iou_loss", "class_loss")])
+    np.testing.assert_allclose(got, ref_bd, rtol=2e-3, atol=1e-5)
+
+
 def test_gaussian_and_giou_mutually_exclusive():
     cfg = _mk_cfg(is_gaussian_yolo=True, is_giou_loss=True)
     with pytest.raises(ValueError):
