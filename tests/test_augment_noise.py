@@ -167,3 +167,18 @@ def test_spatial_partition_rejects_fused_augment():
     with pytest.raises(AssertionError):
         YOLOv3Trainer(cfg, restore=False,
                       checkpoint_dir=tempfile.mkdtemp())
+
+def test_pick_rb_is_mosaic_legal_for_all_multiscale_sizes():
+    """Mosaic requires the sublane block dim to be divisible by 8 or
+    equal to the full dim — the RB=2028 divisor at 416x416 passed
+    interpret mode and failed real-TPU lowering (round 3).  Pin the
+    rule for every multi-scale input size (320..608 step 32)."""
+    for k in range(10, 20):
+        size = 32 * k
+        total = size * size * 3
+        assert total % 128 == 0
+        R = total // 128
+        rb = augment_noise._pick_rb(R)
+        assert R % rb == 0, (size, rb)
+        assert rb == R or rb % 8 == 0, (size, rb)
+        assert rb <= augment_noise._MAX_ROWS or rb == R, (size, rb)

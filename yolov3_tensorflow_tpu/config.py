@@ -232,9 +232,11 @@ class Config:
     # "fused" runs uint8-normalize + gaussian + salt-pepper as ONE
     # Pallas pass with counter-based in-kernel randomness (no threefry
     # HBM tensors); "xla" is the classic jax.random composition; "auto"
-    # picks fused on TPU for uint8 batches (xla under spatial
-    # partitioning and on CPU).  Color ops always stay in XLA.  The
-    # noise bit-stream differs between backends (same distributions).
+    # resolves to xla — the TPU A/B measured fused LOSING end-to-end
+    # (1,769 vs 1,901 img/s at b128: the in-kernel hash+inverse-CDF VPU
+    # work costs ~6 ms vs the ~1.1 ms of XLA passes it removes; PERF.md
+    # round-4 item 2).  Color ops always stay in XLA.  The noise
+    # bit-stream differs between backends (same distributions).
     augment_backend: str = "auto"  # auto | fused | xla
     # Post-training int8 INFERENCE quantization (ops/quantize.py):
     # "int8" runs the measured-eligible early-module convs (both

@@ -62,14 +62,20 @@ _MAX_ROWS = 2048
 
 
 def _pick_rb(R: int) -> int:
-    """Largest divisor chunk of R at or under _MAX_ROWS (R = 24*k^2 is
-    highly composite for every multi-scale size)."""
-    rb = R
-    while rb > _MAX_ROWS and rb % 2 == 0:
-        rb //= 2
-    if rb > _MAX_ROWS and rb % 3 == 0:
-        rb //= 3
-    return rb
+    """Largest Mosaic-legal divisor chunk of R at or under _MAX_ROWS.
+
+    Legal = divisible by 8 (the sublane tile) OR equal to R itself:
+    Mosaic rejects any other sublane block size on real TPU (measured;
+    the interpret backend does not run that check, so RB=2028 at
+    416x416 passed CPU tests and failed on hardware).  R = 24*k^2 for
+    every multi-scale size, so an 8-divisor <= 2048 always exists
+    (8 * the largest divisor of 3k^2 under 256)."""
+    if R <= _MAX_ROWS:
+        return R
+    for rb in range(_MAX_ROWS - _MAX_ROWS % 8, 7, -8):
+        if R % rb == 0:
+            return rb
+    return R
 
 
 def supported(shape) -> bool:
@@ -110,10 +116,12 @@ def _ndtri(u):
 
 
 def _u01(bits):
-    """uint32 bits -> uniform in (0, 1): top 24 bits + half-step offset
-    (min 2^-25, max 1 - 2^-25 — log-safe)."""
-    b24 = jax.lax.shift_right_logical(bits.astype(jnp.uint32),
-                                      jnp.uint32(8))
+    """int32 hash bits -> uniform in (0, 1): top 24 bits + half-step
+    offset (min 2^-25, max 1 - 2^-25 — log-safe).  The logical shift
+    leaves a non-negative int32, so no unsigned types appear — Mosaic
+    has no uint32 -> f32 cast rule (measured on real TPU; the value
+    stream is bit-identical to the previous uint32 form)."""
+    b24 = jax.lax.shift_right_logical(bits, jnp.int32(8))
     return (b24.astype(jnp.float32) + 0.5) * jnp.float32(2.0 ** -24)
 
 
@@ -130,17 +138,24 @@ def _mix(h):
 def _kernel(seed_ref, scal_ref, img_ref, out_ref, *, RB, out_dtype):
     """Grid step (n, c): rows c*RB .. c*RB+RB-1 of image n.
 
-    seed_ref (1,2) int32 SMEM (two words of the 64-bit per-batch seed,
-    both mixed into the hash); scal_ref (1,2) f32 SMEM = [g_std, p_eff]
+    seed_ref (N,2) int32 SMEM (two words of each image's 64-bit seed,
+    both mixed into the hash); scal_ref (N,2) f32 SMEM = [g_std, p_eff]
     (g_std = 0.01 when this image draws gaussian noise else 0;
-    p_eff = 0.01 when it draws salt-pepper else -1 = never)."""
+    p_eff = 0.01 when it draws salt-pepper else -1 = never).  Both ride
+    SMEM WHOLE (block == array) and are indexed by program_id — Mosaic
+    rejects sub-(8,128) block shapes even in SMEM (measured: the (1,2)
+    per-image block form fails lowering on real TPU; interpret mode
+    does not run that check)."""
+    n = pl.program_id(0)
     c = pl.program_id(1)
-    s0 = seed_ref[0, 0]
-    s1 = seed_ref[0, 1]
-    g_std = scal_ref[0, 0]
-    p_eff = scal_ref[0, 1]
+    s0 = seed_ref[n, 0]
+    s1 = seed_ref[n, 1]
+    g_std = scal_ref[n, 0]
+    p_eff = scal_ref[n, 1]
 
-    x = img_ref[0].astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    # Mosaic has no direct uint8 -> f32 cast rule; hop through int32
+    x = (img_ref[0].astype(jnp.int32).astype(jnp.float32)
+         * jnp.float32(1.0 / 255.0))
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (RB, 128), 0) + c * RB
     lanes = jax.lax.broadcasted_iota(jnp.int32, (RB, 128), 1)
@@ -170,9 +185,9 @@ def _invoke(images, seeds, scal, R, RB, out_dtype, interpret):
         kernel,
         grid=(N, R // RB),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda n, c: (n, 0),
+            pl.BlockSpec((N, 2), lambda n, c: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2), lambda n, c: (n, 0),
+            pl.BlockSpec((N, 2), lambda n, c: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, RB, 128), lambda n, c: (n, c, 0)),
         ],

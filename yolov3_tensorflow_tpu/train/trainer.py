@@ -187,10 +187,12 @@ class YOLOv3Trainer:
             if cfg.augment_backend == "fused":
                 assert ok, (images.dtype, images.shape)
                 return True
-            # auto: engage on TPU once the end-to-end A/B lands (the
-            # per-shape-winner rule; PERF.md round-4 queue item 2) —
-            # until the kernel has compiled and won on real hardware it
-            # must not carry the default path
+            # auto: xla — MEASURED end-to-end on TPU (b128, round 3):
+            # fused 1,769 vs xla 1,901 img/s.  The counter-hash PRNG +
+            # inverse-CDF math costs ~6 ms of VPU time per step, far
+            # more than the ~1.1 ms of threefry+noise XLA passes it
+            # removes.  Per-shape-winner rule: the kernel stays correct,
+            # tested, partitioned, and opt-in (PERF.md round-4 item 2).
             return False
 
         def train_step(state: TrainState, images, labels):
