@@ -1,5 +1,14 @@
 """PROTOTYPE: whole-augment Pallas kernel in planar layout (v2).
 
+RETIRED by measurement (late round 3) without a TPU A/B of its own:
+the v1 kernel's end-to-end TPU run measured the in-kernel counter-hash
+PRNG + inverse-CDF at ~6 ms/step VPU cost (fused 1,769 vs xla 1,901
+img/s at b128, PERF.md round-4 item 2).  v2 inherits that same PRNG
+cost and could at best remove ~2.5 ms of XLA color/noise passes — it
+cannot win on this VPU generation.  Kept for a hardware generation
+with cheaper transcendental/VPU throughput or a native Mosaic PRNG
+with a CPU-interpret rule.
+
 Quarantined experiment (nothing in the package imports this).  The
 shipped fused path (ops/augment_noise.py) covers normalize+noise and
 leaves the color chain (brightness/saturation/contrast, ~2 XLA passes

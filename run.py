@@ -25,7 +25,8 @@ def build_config(args) -> "Config":
     overrides = {}
     for field in ("mode", "model_backbone", "optimizer", "train_label_path",
                   "train_set_dir", "test_label_path", "test_set_dir",
-                  "save_path", "image_root_path", "quant"):
+                  "save_path", "image_root_path", "quant", "conv_backend",
+                  "stem_backend", "augment_backend"):
         v = getattr(args, field, None)
         if v is not None:
             overrides[field] = v
@@ -162,6 +163,18 @@ def main(argv=None):
                    help="post-training int8 inference (test/predict "
                         "modes): eligible convs run int8 with scales "
                         "calibrated on the first batch")
+    p.add_argument("--conv_backend", default=None,
+                   choices=["auto", "xla", "winograd"],
+                   help="conv algorithm (default auto = the measured "
+                        "per-shape winner; PERF.md)")
+    p.add_argument("--stem_backend", default=None,
+                   choices=["auto", "xla", "fused"],
+                   help="stem BN+maxpool+relu path (default auto = "
+                        "fused Pallas kernel for TPU training)")
+    p.add_argument("--augment_backend", default=None,
+                   choices=["auto", "xla", "fused"],
+                   help="noise-stage augment path (default auto = xla, "
+                        "the measured winner; PERF.md)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
     p.add_argument("--checkpoint_dir", default=None)

@@ -423,3 +423,52 @@ def test_cross_head_assignment_unique_when_no_tie():
     _, bd, _ = loss(heads, t, jnp.asarray(10 ** 9, jnp.int32))
     obj = np.asarray(bd["obj_iou_loss"])
     assert int((obj > 0).sum()) == 1
+
+
+# ---------------------------------------------------------------------- #
+# Pairwise composition sweep: every pair of loss-variant flags (incl. the
+# box_weights hook) must match the oracle when enabled TOGETHER — the
+# single-flag tests above cannot catch an interaction bug (e.g. a branch
+# that reads the wrong channel index only when gaussian re-layouts raw).
+_FLAGS = ("focal", "tiou", "smooth", "ghm", "giou", "gaussian", "bw")
+_PAIRS = [(a, b) for i, a in enumerate(_FLAGS) for b in _FLAGS[i + 1:]
+          if {a, b} != {"giou", "gaussian"}]  # mutually exclusive pair
+
+
+@pytest.mark.parametrize("fa,fb", _PAIRS)
+def test_flag_pair_compositions_match_oracle(fa, fb):
+    on = {fa, fb}
+    cfg = _mk_cfg(class_num=3,
+                  is_focal_loss="focal" in on,
+                  is_tiou_recall="tiou" in on,
+                  is_label_smoothing="smooth" in on,
+                  is_gradient_harmonized="ghm" in on,
+                  is_giou_loss="giou" in on,
+                  is_gaussian_yolo="gaussian" in on,
+                  rectified_coord_num=100)
+    heads = _random_heads(cfg, 2, seed=hash((fa, fb)) % 1000)
+    targets = _targets(2, 3, {
+        (0, 0): [0.5, 0.5, 0.25, 0.3, 1],
+        (0, 1): [0.2, 0.7, 0.1, 0.15, 0],
+        (1, 0): [0.8, 0.3, 0.4, 0.5, 2],
+    })
+    bw = None
+    if "bw" in on:
+        bw = jnp.asarray([[0.3, 0.9, 1.0], [0.6, 1.0, 1.0]], jnp.float32)
+    loss = YOLOv3Loss(cfg)
+    total, bd, cnt = jax.jit(loss)(heads, targets,
+                                   jnp.asarray(0, jnp.int32),
+                                   box_weights=bw)
+    ref_total, ref_bd, ref_cnt = reference_loss(
+        [np.asarray(h) for h in heads], np.asarray(targets), cfg,
+        image_count=0,
+        box_weights=None if bw is None else np.asarray(bw))
+    np.testing.assert_allclose(float(total), ref_total, rtol=3e-4)
+    got = np.stack([np.asarray(bd[k]) for k in (
+        "rectified_coord_loss", "coord_loss_xy", "coord_loss_wh",
+        "noobj_iou_loss", "obj_iou_loss", "class_loss")])
+    np.testing.assert_allclose(got, ref_bd, rtol=3e-3, atol=1e-5)
+    # every composition must also be trainable: finite gradients
+    g = jax.grad(lambda hs: loss(hs, targets, jnp.asarray(0, jnp.int32),
+                                 box_weights=bw)[0])(heads)
+    assert all(bool(jnp.isfinite(x).all()) for x in g)
