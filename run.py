@@ -47,20 +47,18 @@ def build_config(args) -> "Config":
         sizes = tuple(tuple(int(v) for v in s.split("x"))
                       for s in args.multi_scale.split(","))
         overrides["multi_scale_sizes"] = sizes
-    if args.no_augment:
+    if getattr(args, "no_augment", False):
         overrides["is_augment"] = False
-    if args.focal_loss:
-        overrides["is_focal_loss"] = True
-    if args.tiou_recall:
-        overrides["is_tiou_recall"] = True
-    if args.giou_loss:
-        overrides["is_giou_loss"] = True
-    if args.ghm:
-        overrides["is_gradient_harmonized"] = True
-    if args.mixup:
-        overrides["is_mixup"] = True
-    if args.gaussian_yolo:
-        overrides["is_gaussian_yolo"] = True
+    # Boolean feature flags; getattr-with-default so a hand-built
+    # Namespace (tests, embedders) need not enumerate every flag.
+    for arg, field in (("focal_loss", "is_focal_loss"),
+                       ("tiou_recall", "is_tiou_recall"),
+                       ("giou_loss", "is_giou_loss"),
+                       ("ghm", "is_gradient_harmonized"),
+                       ("mixup", "is_mixup"),
+                       ("gaussian_yolo", "is_gaussian_yolo")):
+        if getattr(args, arg, False):
+            overrides[field] = True
     return cfg.replace(**overrides)
 
 

@@ -52,3 +52,36 @@ def test_cli_train_test_predict(sample_set, tmp_path, monkeypatch):
               "--image_root_path", os.path.join(sample_set, "images"),
               "--save_path", pred_dir, *common])
     assert len(glob.glob(os.path.join(pred_dir, "*.jpg"))) == 8
+
+
+# BASELINE.json "configs" rows 2-4: the named backbone x loss-variant
+# combinations, driven through the REAL CLI (train then test = in-repo
+# mAP eval), not just the model layer.  Row 1 (ResNet-18 train+test) is
+# test_cli_train_test_predict above; row 5 (multi-backbone COCO on a
+# pod slice) is hardware-gated — its pieces (multi-scale, device NMS,
+# mesh DP) are covered by test_train/test_spatial/test_partition.
+@pytest.mark.parametrize("backbone,extra", [
+    ("mobilenet-v2", ["--focal_loss", "--optimizer", "radam"]),
+    ("resnext-18", ["--tiou_recall"]),
+    ("mixnet-18", []),
+])
+def test_cli_baseline_configs(sample_set, tmp_path, monkeypatch,
+                              backbone, extra):
+    monkeypatch.chdir(tmp_path)
+    ckpt = str(tmp_path / f"ckpt_{backbone}")
+    common = ["--input_size", "96x128", "--batch_size", "4",
+              "--class_num", "3", "--max_boxes", "4",
+              "--train_set_size", "8", "--checkpoint_dir", ckpt,
+              "--num_devices", "1", "--no_augment",
+              "--model_backbone", backbone, *extra]
+    cli.main(["--mode", "train", "--epoch", "1",
+              "--train_label_path", os.path.join(sample_set, "label.txt"),
+              "--train_set_dir", os.path.join(sample_set, "images"),
+              *common])
+    assert os.path.isdir(ckpt) and os.listdir(ckpt), backbone
+    out_dir = str(tmp_path / f"out_{backbone}")
+    cli.main(["--mode", "test", "--confidence_thresh", "0.1",
+              "--test_label_path", os.path.join(sample_set, "label.txt"),
+              "--test_set_dir", os.path.join(sample_set, "images"),
+              "--save_path", out_dir, *common])
+    assert len(glob.glob(os.path.join(out_dir, "*.jpg"))) == 8
