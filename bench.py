@@ -93,6 +93,11 @@ def main():
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     # optional 3rd arg: augment backend A/B (auto | fused | xla)
     aug_backend = sys.argv[3] if len(sys.argv) > 3 else "auto"
+    if aug_backend not in ("auto", "fused", "xla"):
+        # an unknown string would silently fall through trainer's
+        # backend match to the auto(=xla) branch, corrupting the A/B
+        sys.exit(f"unknown augment backend {aug_backend!r} "
+                 "(choose auto | fused | xla)")
 
     cfg = Config(input_image_size=(416, 416, 3), batch_size=batch,
                  max_boxes=32, model_backbone="resnet-18",
