@@ -41,20 +41,22 @@ void error_exit(j_common_ptr cinfo) {
 }
 
 // Decode one JPEG file and letterbox it into out (dst_h*dst_w*3, BGR).
-// Returns 0 on success; fills src dims.
+// Returns 0 on success; fills src dims.  `src` is caller-owned scratch:
+// an automatic object modified between setjmp and longjmp has an
+// indeterminate value after the jump (C11 7.13.2.1), so the buffer must
+// NOT live in this frame — resize() happens after setjmp, and a corrupt
+// image's longjmp would then run the destructor on a formally
+// indeterminate vector.  Owning it in the caller (whose frame never
+// longjmps) removes the UB and reuses the allocation across a worker's
+// whole batch slice.
 int decode_one(const char* path, int dst_h, int dst_w, unsigned char* out,
-               int* src_h_out, int* src_w_out) {
+               int* src_h_out, int* src_w_out,
+               std::vector<unsigned char>& src) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return 1;
 
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
-  // Declared BEFORE setjmp: a longjmp out of a mid-decode libjpeg error
-  // does not unwind C++ objects constructed after the setjmp point, so a
-  // buffer declared below it would leak its heap block on every corrupt
-  // image (the error path returns through this frame normally, running
-  // destructors only for objects that precede the setjmp).
-  std::vector<unsigned char> src;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
   if (setjmp(jerr.setjmp_buffer)) {
@@ -136,11 +138,13 @@ void yolo_decode_letterbox_batch(const char** paths, int n, int dst_h,
   const size_t img_bytes = static_cast<size_t>(dst_h) * dst_w * 3;
 
   auto work = [&]() {
+    std::vector<unsigned char> scratch;  // per-thread; see decode_one
     for (;;) {
       const int i = next.fetch_add(1);
       if (i >= n) return;
       status[i] = decode_one(paths[i], dst_h, dst_w, out + i * img_bytes,
-                             &src_dims[i * 2], &src_dims[i * 2 + 1]);
+                             &src_dims[i * 2], &src_dims[i * 2 + 1],
+                             scratch);
     }
   };
   if (workers == 1) {

@@ -328,6 +328,14 @@ def test_gaussian_and_giou_mutually_exclusive():
         YOLOv3Loss(cfg)
 
 
+def test_focal_and_ghm_mutually_exclusive():
+    """Both re-weight the confidence CE; GHM silently winning would turn
+    a focal_gamma sweep into identical runs — __init__ must refuse."""
+    cfg = _mk_cfg(is_focal_loss=True, is_gradient_harmonized=True)
+    with pytest.raises(ValueError):
+        YOLOv3Loss(cfg)
+
+
 def test_ghm_with_box_weights_matches_oracle():
     """GHM composes with mixup's per-box weights: positive anchors carry
     the accumulated clipped weight; the histogram stays binary."""
@@ -431,8 +439,10 @@ def test_cross_head_assignment_unique_when_no_tie():
 # single-flag tests above cannot catch an interaction bug (e.g. a branch
 # that reads the wrong channel index only when gaussian re-layouts raw).
 _FLAGS = ("focal", "tiou", "smooth", "ghm", "giou", "gaussian", "bw")
+# mutually exclusive pairs (YOLOv3Loss.__init__ raises): giou/gaussian
+# both replace the coord pair; focal/ghm both re-weight the confidence CE
 _PAIRS = [(a, b) for i, a in enumerate(_FLAGS) for b in _FLAGS[i + 1:]
-          if {a, b} != {"giou", "gaussian"}]  # mutually exclusive pair
+          if {a, b} not in ({"giou", "gaussian"}, {"focal", "ghm"})]
 
 
 @pytest.mark.parametrize("fa,fb", _PAIRS)
@@ -446,7 +456,10 @@ def test_flag_pair_compositions_match_oracle(fa, fb):
                   is_giou_loss="giou" in on,
                   is_gaussian_yolo="gaussian" in on,
                   rectified_coord_num=100)
-    heads = _random_heads(cfg, 2, seed=hash((fa, fb)) % 1000)
+    # deterministic per-pair seed (hash() is salted per process — a
+    # seed-dependent failure would be unreproducible across runs)
+    heads = _random_heads(
+        cfg, 2, seed=1 + _FLAGS.index(fa) * len(_FLAGS) + _FLAGS.index(fb))
     targets = _targets(2, 3, {
         (0, 0): [0.5, 0.5, 0.25, 0.3, 1],
         (0, 1): [0.2, 0.7, 0.1, 0.15, 0],

@@ -118,8 +118,9 @@ class Config:
     # implementation's normalization, batch-local density, no EMA).  The
     # noobj/obj breakdown slots report the harmonized terms (batch-global
     # sums — the density already normalizes across the batch); coord/class
-    # terms are untouched; when both focal and GHM are set, GHM takes the
-    # confidence terms (they are alternative re-weightings of the same CE).
+    # terms are untouched; focal and GHM are alternative re-weightings of
+    # the same confidence CE, so YOLOv3Loss raises when both are set
+    # (a silent GHM-wins precedence would make focal_gamma sweeps no-ops).
     is_label_smoothing: bool = False
     label_smoothing_eps: float = 0.1
     is_focal_loss: bool = False

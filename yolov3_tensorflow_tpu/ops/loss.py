@@ -136,6 +136,12 @@ class YOLOv3Loss:
             raise ValueError(
                 "is_gaussian_yolo and is_giou_loss both replace the "
                 "coordinate loss pair — enable at most one")
+        if cfg.is_focal_loss and cfg.is_gradient_harmonized:
+            raise ValueError(
+                "is_focal_loss and is_gradient_harmonized are alternative "
+                "re-weightings of the same confidence CE — enable at most "
+                "one (the GHM branch would silently ignore focal_gamma/"
+                "focal_alpha)")
         self.cfg = cfg
         # index of the objectness channel in the resp gather / raw layout
         # (after the 4 sigma channels when Gaussian YOLO is on)
