@@ -53,6 +53,45 @@ def test_radam_matches_reference_math():
     assert rho_1 < 5.0
 
 
+def numpy_keras_sgd_steps(grads, lrs, momentum=0.95, nesterov=True):
+    """Parameter deltas for a scalar param under keras SGD.get_updates
+    (the reference's sgdm, trainer.py:70-71): v = m*v - lr*g with lr
+    folded into the velocity at each step."""
+    m = 0.0
+    deltas = []
+    for g, lr in zip(grads, lrs):
+        v = momentum * m - lr * g
+        deltas.append(momentum * v - lr * g if nesterov else v)
+        m = v
+    return deltas
+
+
+def test_sgdm_matches_keras_across_lr_boundary():
+    """The velocity must carry each step's OWN lr: a schedule applied
+    after the momentum trace would rescale the whole history at the
+    10x lr jumps and diverge from keras exactly there."""
+    import optax
+
+    from yolov3_tensorflow_tpu.config import Config
+    cfg = Config(optimizer="sgdm", grad_clip_norm=0.0)
+    cfg = cfg.replace(step_epoch=(1, 3), step_lr=(1e-4, 1e-2, 1e-3))
+    spe = 2
+    tx, sched = make_optimizer(cfg, steps_per_epoch=spe)
+    params = {"w": jnp.asarray(0.5)}
+    st = tx.init(params)
+    rng = np.random.RandomState(1)
+    grads_seq = rng.randn(12)  # crosses both boundaries (epochs 0..5)
+    got, lrs = [], []
+    for step, g in enumerate(grads_seq):
+        lrs.append(float(sched(step)))
+        upd, st = tx.update({"w": jnp.asarray(g, jnp.float32)}, st, params)
+        got.append(float(upd["w"]))
+        params = optax.apply_updates(params, upd)
+    assert len(set(lrs)) == 3, lrs  # the sweep really crossed boundaries
+    want = numpy_keras_sgd_steps(grads_seq, lrs)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8)
+
+
 def test_schedule_matches_lr_func():
     cfg = Config()
     sched = piecewise_epoch_schedule(cfg.step_epoch, cfg.step_lr,

@@ -62,9 +62,16 @@ def evaluate_map(
     for img_idx, dets in enumerate(detections):
         for row in np.asarray(dets).reshape(-1, 6):
             per_class_dets[int(row[5])].append((row[4], img_idx, row[0:4]))
+    # split every image's GT by class ONCE — the per-class loop below
+    # would otherwise re-parse all N ground-truth arrays per class and
+    # per detection (O(C*N + D) full passes on large test sets)
+    per_img_cls_gts = []
     for gts in ground_truths:
-        for row in np.asarray(gts).reshape(-1, 5):
-            gt_count[int(row[4])] += 1
+        g = np.asarray(gts).reshape(-1, 5)
+        per_img_cls_gts.append(
+            {int(c): g[g[:, 4] == c, 0:4] for c in np.unique(g[:, 4])})
+        for c, boxes in per_img_cls_gts[-1].items():
+            gt_count[c] += len(boxes)
 
     aps = {}
     for cls in sorted(set(gt_count) | set(per_class_dets)):
@@ -74,18 +81,17 @@ def evaluate_map(
             # zero-GT class: excluded from the mAP mean (Cartucho convention)
             aps[cls] = float("nan")
             continue
-        matched = {i: np.zeros(
-            int(np.sum(np.asarray(g).reshape(-1, 5)[:, 4] == cls)), bool)
-            for i, g in enumerate(ground_truths)}
+        matched = {}  # image_idx -> per-GT-box claimed flags, built lazily
         tp = np.zeros(len(dets))
         fp = np.zeros(len(dets))
         for d_idx, (score, img_idx, box) in enumerate(dets):
-            gts = np.asarray(ground_truths[img_idx]).reshape(-1, 5)
-            gts_cls = gts[gts[:, 4] == cls]
-            if len(gts_cls) == 0:
+            gts_cls = per_img_cls_gts[img_idx].get(cls)
+            if gts_cls is None or len(gts_cls) == 0:
                 fp[d_idx] = 1
                 continue
-            ious = box_iou(box[None, :], gts_cls[:, 0:4])[0]
+            if img_idx not in matched:
+                matched[img_idx] = np.zeros(len(gts_cls), bool)
+            ious = box_iou(box[None, :], gts_cls)[0]
             best = int(np.argmax(ious))
             if ious[best] >= iou_thresh and not matched[img_idx][best]:
                 tp[d_idx] = 1

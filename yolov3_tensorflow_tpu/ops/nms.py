@@ -57,12 +57,14 @@ def greedy_nms(boxes, scores, classes, valid, nms_thresh: float):
     k = boxes.shape[0]
     neg = jnp.where(valid, scores, -jnp.inf)
     order = jnp.argsort(-neg)
-    sb, sc, scls, sv = boxes[order], neg[order], classes[order], valid[order]
+    sb, scls, sv = boxes[order], classes[order], valid[order]
 
     def body(i, alive):
         iou_row = _pairwise_iou_row(sb[i], sb)
         idx = jnp.arange(k)
-        suppress = (alive[i] & sv[i]) & (iou_row > nms_thresh) & \
+        # alive starts as sv and is only ever cleared, so alive[i]
+        # already implies sv[i]
+        suppress = alive[i] & (iou_row > nms_thresh) & \
             (scls == scls[i]) & (idx > i)
         return alive & jnp.logical_not(suppress)
 

@@ -14,9 +14,15 @@ fallback differs):
   amsgrad uses vhat = max(vhat, v_t)                    (radam.py:91-94)
 
 eps defaults to the Keras epsilon the reference sets to 1e-8 (run.py:26).
-The learning rate is applied by the epoch-piecewise schedule (see
-schedule.py) for every optimizer, matching the effective reference
-trajectory.
+The learning rate comes from the epoch-piecewise schedule (schedule.py)
+for every optimizer; WHERE it enters differs per optimizer to match the
+reference exactly: keras SGD folds lr into the velocity update itself
+(v = momentum*v - lr*g), so for sgdm the schedule scales the gradient
+BEFORE the momentum trace — applying it after would rescale the whole
+momentum history at every schedule boundary (a 10x lr jump would
+transiently take ~10x-too-large steps until the old velocity decays).
+Adam/RAdam apply lr to the current step only in the reference too, so
+there the schedule scales the final update.
 """
 from __future__ import annotations
 
@@ -91,17 +97,22 @@ def make_optimizer(cfg: Config,
         cfg.step_epoch, cfg.step_lr,
         steps_per_epoch or cfg.steps_per_epoch)
     name = cfg.optimizer
-    if name == "sgdm":
-        core = optax.trace(decay=0.95, nesterov=True)
-    elif name == "adam":
-        core = optax.scale_by_amsgrad(b1=0.9, b2=0.999, eps=cfg.epsilon)
-    elif name == "radam":
-        core = scale_by_radam(eps=cfg.epsilon)
-    else:
-        raise ValueError(f"unknown optimizer {name!r}")
     parts = []
     if cfg.grad_clip_norm:
         parts.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
-    parts += [core, optax.scale_by_schedule(lambda step: -schedule(step))]
+    if name == "sgdm":
+        # lr-before-trace: see module docstring (keras SGD.get_updates
+        # semantics — the velocity carries each step's own lr)
+        parts += [optax.scale_by_schedule(schedule),
+                  optax.trace(decay=0.95, nesterov=True),
+                  optax.scale(-1.0)]
+    elif name == "adam":
+        parts += [optax.scale_by_amsgrad(b1=0.9, b2=0.999, eps=cfg.epsilon),
+                  optax.scale_by_schedule(lambda step: -schedule(step))]
+    elif name == "radam":
+        parts += [scale_by_radam(eps=cfg.epsilon),
+                  optax.scale_by_schedule(lambda step: -schedule(step))]
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
     tx = optax.chain(*parts)
     return tx, schedule

@@ -261,8 +261,12 @@ class YOLOv3Trainer:
                 {"params": state.params, "batch_stats": state.batch_stats},
                 normalize(images), train=False)
             total, breakdown, _ = loss_fn(heads, labels, state.image_count)
+            # keras Model.fit's val_loss includes model.losses (the L2
+            # regularizers) — omitting them here would offset val_loss
+            # from train loss by kreg+greg and break reference parity
+            kreg, greg = l2_regularization(state.params)
             metrics = dict(breakdown)
-            metrics["total_loss"] = total
+            metrics["total_loss"] = total + kreg + greg
             return metrics
 
         def forward(state: TrainState, images):
@@ -298,7 +302,11 @@ class YOLOv3Trainer:
         cfg = self.cfg
         h, w, c = cfg.input_image_size
         b = cfg.batch_size
-        img = jax.ShapeDtypeStruct((b, h, w, c), jnp.float32)
+        # uint8 — the Dataset ships uint8 batches (data/loader.py Batch)
+        # and the train step normalizes on-device; tracing with float32
+        # here would dump an HLO for a program that never runs (and the
+        # fused augment backend asserts on non-uint8 input at trace time)
+        img = jax.ShapeDtypeStruct((b, h, w, c), jnp.uint8)
         lab = jax.ShapeDtypeStruct((b, cfg.max_boxes, 5), jnp.float32)
         sds = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
@@ -364,9 +372,11 @@ class YOLOv3Trainer:
                     vn += 1
                 logging.info("  val_loss=%.5f", vacc / max(vn, 1))
 
-            # periodic checkpoint (trainer.py:90-91)
+            # periodic checkpoint (trainer.py:90-91); async — the disk
+            # write overlaps the next epoch (_final_save is synchronous)
             if (epoch + 1) % cfg.ckpt_period == 0:
-                self.ckpt.save(int(self.state.step), self.state)
+                self.ckpt.save(int(self.state.step), self.state,
+                               wait=False)
 
             # early stopping (trainer.py:92-93)
             if total < best - cfg.stop_min_delta:
@@ -416,7 +426,8 @@ class YOLOv3Trainer:
             logging.info("  (multi-scale size %sx%s)", hw[0], hw[1])
             self.history.append(total)
             if (epoch + 1) % cfg.ckpt_period == 0:
-                self.ckpt.save(int(self.state.step), self.state)
+                self.ckpt.save(int(self.state.step), self.state,
+                               wait=False)
         self._final_save()
 
     def _final_save(self):
