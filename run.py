@@ -7,7 +7,8 @@ Config knob can be overridden from the command line.
 Additions over the reference:
   * in-repo mAP@0.5 report in test mode (the reference leaves mAP to the
     external Cartucho/mAP tool, run.py:78-79)
-  * --devices to size the data-parallel mesh (replaces gpu_num/visible_gpu)
+  * --num_devices to size the data-parallel mesh (replaces
+    gpu_num/visible_gpu)
 """
 from __future__ import annotations
 
@@ -40,12 +41,16 @@ def build_config(args) -> "Config":
         v = getattr(args, field, None)
         if v is not None:
             overrides[field] = v
-    if args.input_size:
-        h, w = (int(x) for x in args.input_size.split("x"))
+    # getattr like every other field: hand-built Namespaces (tests,
+    # embedders) need not enumerate every flag
+    input_size = getattr(args, "input_size", None)
+    if input_size:
+        h, w = (int(x) for x in input_size.split("x"))
         overrides["input_image_size"] = (h, w, 3)
-    if args.multi_scale:
+    multi_scale = getattr(args, "multi_scale", None)
+    if multi_scale:
         sizes = tuple(tuple(int(v) for v in s.split("x"))
-                      for s in args.multi_scale.split(","))
+                      for s in multi_scale.split(","))
         overrides["multi_scale_sizes"] = sizes
     if getattr(args, "no_augment", False):
         overrides["is_augment"] = False
@@ -62,19 +67,39 @@ def build_config(args) -> "Config":
     return cfg.replace(**overrides)
 
 
-def train(cfg, trainer):
-    """(run.py:31-38)"""
+def train(cfg, trainer, derive_steps: bool = True):
+    """(run.py:31-38)
+
+    ``derive_steps``: without an explicit --train_set_size the epoch
+    length comes from the ACTUAL dataset (ceil(len/batch)); keeping the
+    config default (a 20-image fixture) on a real corpus would silently
+    run 1-batch "epochs" and under-train by orders of magnitude."""
+    import math
+
     from yolov3_tensorflow_tpu.data.loader import Dataset
     logging.info("loading train set: %s", cfg.train_label_path)
+
+    def spe_for(ds):
+        if not derive_steps:
+            return None  # trainer uses cfg.steps_per_epoch
+        spe = max(1, math.ceil(len(ds.examples) / cfg.batch_size))
+        if spe != cfg.steps_per_epoch:
+            logging.info("steps_per_epoch=%d derived from %d images "
+                         "(pass --train_set_size to override)",
+                         spe, len(ds.examples))
+        return spe
+
     if cfg.multi_scale_sizes:
-        batches = {
+        datasets = {
             tuple(hw): Dataset(cfg, cfg.train_label_path, cfg.train_set_dir,
-                               dst_hw=tuple(hw)).device_prefetch()
+                               dst_hw=tuple(hw))
             for hw in cfg.multi_scale_sizes}
-        trainer.train_multi_scale(batches)
+        batches = {hw: ds.device_prefetch() for hw, ds in datasets.items()}
+        trainer.train_multi_scale(
+            batches, steps_per_epoch=spe_for(next(iter(datasets.values()))))
     else:
         ds = Dataset(cfg, cfg.train_label_path, cfg.train_set_dir)
-        trainer.train(ds.device_prefetch())
+        trainer.train(ds.device_prefetch(), steps_per_epoch=spe_for(ds))
     logging.info("training done")
 
 
@@ -194,7 +219,8 @@ def main(argv=None):
     trainer = YOLOv3Trainer(cfg, enable_tensorboard=args.tensorboard,
                             checkpoint_dir=args.checkpoint_dir)
     if cfg.mode == "train":
-        train(cfg, trainer)
+        train(cfg, trainer,
+              derive_steps=getattr(args, "train_set_size", None) is None)
     elif cfg.mode == "test":
         test(cfg, trainer)
     elif cfg.mode == "predict":

@@ -255,3 +255,30 @@ def test_mixup_batch_blend_union_weights():
                                np.tile(1 - np.asarray(lam)[:, None],
                                        (1, m)))
     assert np.all((np.asarray(lam) > 0) & (np.asarray(lam) < 1))
+
+
+def test_dataset_drops_unreadable_files(tmp_path, caplog):
+    """One bad label.txt line (missing or corrupt image) must drop THAT
+    example with a warning, not kill the constructor — mirrors the
+    per-image decode fallback (reference pre-filters separately via
+    utils/check_label_file.py)."""
+    from PIL import Image as PILImage
+    imgdir = tmp_path / "images"
+    imgdir.mkdir()
+    PILImage.fromarray(np.zeros((20, 30, 3), np.uint8)).save(
+        str(imgdir / "ok.jpg"))
+    (imgdir / "bad.jpg").write_bytes(b"not a jpeg")
+    label = tmp_path / "label.txt"
+    label.write_text("ok.jpg 0.5 0.5 0.4 0.4 0\n"
+                     "bad.jpg 0.5 0.5 0.4 0.4 0\n"
+                     "missing.jpg 0.5 0.5 0.4 0.4 0\n")
+    cfg = Config(input_image_size=(64, 64, 3), max_boxes=4, batch_size=1,
+                 class_num=13)
+    ds = Dataset(cfg, str(label), str(imgdir), cache=False, shuffle=False)
+    assert len(ds.examples) == 1 and len(ds._labels) == 1
+    batch = next(ds.batches(repeat=False))
+    assert batch.images.shape == (1, 64, 64, 3)
+    # an all-bad list still raises
+    label.write_text("missing.jpg 0.5 0.5 0.4 0.4 0\n")
+    with pytest.raises(ValueError):
+        Dataset(cfg, str(label), str(imgdir), cache=False)

@@ -146,3 +146,23 @@ def test_decode_math_parity():
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(decoded[..., 4]),
                                sc_t.numpy()[..., 0], rtol=1e-5)
+
+
+def test_saturation_out_of_gamut_parity():
+    """_saturate's closed form == tf.image.adjust_saturation PER PIXEL,
+    including the out-of-gamut tail the reference feeds it (brightness
+    pushes pixels past [0,1] BEFORE saturation in order 0, and the chain
+    clips only once at the end — dataset_util.py:57-104): s > 1 when
+    min < 0, uniform-V collapse when V <= 0, s' capped at 1."""
+    from yolov3_tensorflow_tpu.data.augment import _saturate
+    rng = np.random.RandomState(0)
+    x = rng.uniform(-0.2, 1.2, (4, 8, 8, 3)).astype(np.float32)
+    x[0, 0, 0] = [-0.1, -0.05, -0.02]   # all negative: collapse to V
+    x[0, 0, 1] = [0.0, -0.1, -0.2]      # V == 0 boundary
+    x[0, 0, 2] = [0.5, 0.5, 0.5]        # uniform (chroma 0)
+    x[0, 0, 3] = [1.1, 1.05, 1.08]      # all > 1
+    for f in (0.9, 1.0, 1.1):
+        want = tf.image.adjust_saturation(tf.constant(x), f).numpy()
+        got = np.asarray(_saturate(
+            jnp.asarray(x), jnp.full((4, 1, 1), f, jnp.float32)))
+        np.testing.assert_allclose(got, want, atol=2e-6, err_msg=str(f))

@@ -119,3 +119,59 @@ def test_hlo_stats_aggregation_and_format():
     assert "0.35 ms/step" in text       # total 1750us / 5 steps
     assert "convolution fusion" in text
     assert "fusion.1" in text and "copy.1" not in text  # top_n=2
+
+
+def test_cli_derives_steps_per_epoch(tmp_path):
+    """Without --train_set_size the epoch length must come from the
+    ACTUAL dataset (ceil(len/batch)), not the config default sized for
+    the 20-image fixture — a real corpus would otherwise silently run
+    1-batch "epochs"."""
+    import numpy as np
+    from PIL import Image as PILImage
+
+    import run as cli
+    from yolov3_tensorflow_tpu.config import Config
+
+    imgdir = tmp_path / "images"
+    imgdir.mkdir()
+    lines = []
+    for i in range(5):
+        PILImage.fromarray(
+            np.zeros((16, 24, 3), np.uint8)).save(str(imgdir / f"i{i}.jpg"))
+        lines.append(f"i{i}.jpg 0.5 0.5 0.4 0.4 0")
+    label = tmp_path / "label.txt"
+    label.write_text("\n".join(lines) + "\n")
+    cfg = Config(input_image_size=(32, 32, 3), batch_size=2, max_boxes=4,
+                 class_num=13, train_label_path=str(label),
+                 train_set_dir=str(imgdir))
+
+    class FakeTrainer:
+        spe = "unset"
+
+        def train(self, it, steps_per_epoch=None):
+            self.spe = steps_per_epoch
+
+    ft = FakeTrainer()
+    cli.train(cfg, ft)                      # derive: ceil(5/2) = 3
+    assert ft.spe == 3
+    cli.train(cfg, ft, derive_steps=False)  # explicit --train_set_size
+    assert ft.spe is None
+
+
+def test_generate_logger_idempotent(tmp_path):
+    """A second call (tests/embedders re-running the CLI flow) must not
+    stack duplicate handlers — every line would log 2, 3, ... times."""
+    import logging
+
+    from yolov3_tensorflow_tpu.utils.logger import generate_logger
+
+    path = str(tmp_path / "log.txt")
+    before = len(logging.getLogger().handlers)
+    root = generate_logger(path)
+    n1 = len(root.handlers)
+    generate_logger(path)
+    assert len(root.handlers) == n1
+    # cleanup: drop the handlers this test added
+    for h in list(root.handlers)[before:]:
+        root.removeHandler(h)
+        h.close()

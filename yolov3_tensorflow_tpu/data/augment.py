@@ -52,18 +52,23 @@ def _saturate(img, factor):
 
     Closed form of the HSV round-trip: with V = max(rgb) fixed and hue
     fixed, every channel is affine in S — rgb = V*(1 - S*k_c) — so scaling
-    S by f is exactly ``rgb' = V + f*(rgb - V)``.  The HSV path clamps
-    S' at 1 (tf adjust_saturation does the same), which corresponds to
-    capping the per-pixel factor at V/(V-min).  This replaces ~15
+    S by f is exactly ``rgb' = V + f*(rgb - V)``.  This replaces ~15
     elementwise passes of an explicit RGB<->HSV conversion with 2 reduces
-    + 1 lerp."""
-    img = jnp.clip(img, 0.0, 1.0)
+    + 1 lerp.  Out-of-gamut inputs (brightness/noise push pixels past
+    [0,1]; the reference clips only ONCE at the END of the chain,
+    dataset_util.py:103) follow tf's AdjustSaturationOp exactly:
+    s = chroma/V for V > 0 (so s > 1 when min < 0) else s = 0 (the pixel
+    collapses to uniform V), and s' = min(f*s, 1) — the cap corresponds
+    to capping the per-pixel factor at V/chroma.  Pinned per-pixel vs
+    tf.image.adjust_saturation on out-of-gamut inputs in
+    tests/test_parity.py."""
     v = jnp.max(img, axis=-1, keepdims=True)
     mn = jnp.min(img, axis=-1, keepdims=True)
     chroma = v - mn
     f = factor[..., None]
     cap = v / jnp.where(chroma > 0, chroma, 1.0)
     f_px = jnp.where(f * chroma > v, cap, f)
+    f_px = jnp.where(v > 0, f_px, 0.0)
     return v + f_px * (img - v)
 
 

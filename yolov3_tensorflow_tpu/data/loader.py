@@ -173,16 +173,35 @@ class Dataset:
         self._cache = {} if cache else None
         self._native_failed: set = set()  # warn once per bad image
         self._native_warned = False
-        # transformed labels are deterministic per example: precompute
+        # transformed labels are deterministic per example: precompute.
+        # Image.open is a lazy header read (size only, no decode); a
+        # missing/unreadable file drops THAT example with a warning —
+        # one bad label.txt line must not kill the whole constructor
+        # (mirrors _fetch_batch_images' per-image fallback; the
+        # reference's check_label_file.py pre-filter stays available).
         self._labels = []
         overflow = 0
+        kept, dropped = [], []
         for ex in self.examples:
-            with Image.open(ex.path) as im:
-                sw, sh = im.size
+            try:
+                with Image.open(ex.path) as im:
+                    sw, sh = im.size
+            except (OSError, ValueError):
+                dropped.append(ex.path)
+                continue
+            kept.append(ex)
             t = transform_labels(ex.labels, (sh, sw), self.dst_hw)
             if len(t) > cfg.max_boxes:
                 overflow += 1
             self._labels.append(pad_labels(t, cfg.max_boxes))
+        if dropped:
+            logging.warning(
+                "%d/%d listed images are missing/unreadable and were "
+                "dropped (first: %s)", len(dropped), len(self.examples),
+                dropped[0])
+            self.examples = kept
+            if not self.examples:
+                raise ValueError(f"no readable images from {label_path}")
         if overflow:
             # the static pad bound drops ground truth silently otherwise —
             # the reference pads dynamically with no cap (file_util.py:97)

@@ -12,6 +12,7 @@ import ctypes
 import logging
 import os
 import subprocess
+import threading
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -22,6 +23,7 @@ _SO_PATH = os.path.join(_NATIVE_DIR, "libyolo_loader.so")
 
 _lib = None
 _lib_checked = False
+_lib_lock = threading.Lock()
 
 
 def _build() -> bool:
@@ -36,11 +38,25 @@ def _build() -> bool:
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
-    """Load (building on first use) the native library, or None."""
+    """Load (building on first use) the native library, or None.
+
+    Lock-guarded: concurrent first callers (two Datasets' prefetch
+    workers) would otherwise race ``make`` in the same directory or
+    observe ``_lib_checked`` set with ``_lib`` still None and silently
+    drop onto the ~10x-slower all-PIL path."""
     global _lib, _lib_checked
     if _lib_checked:
         return _lib
-    _lib_checked = True
+    with _lib_lock:
+        if _lib_checked:
+            return _lib
+        lib = _load_locked()
+        _lib = lib
+        _lib_checked = True  # after _lib: lock-free readers see both
+        return _lib
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
     if not os.path.exists(_SO_PATH) and not _build():
         return None
     try:
@@ -52,11 +68,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
         ]
         lib.yolo_decode_letterbox_batch.restype = None
-        _lib = lib
+        return lib
     except OSError as e:
         logging.info("native loader unavailable (%s); using PIL fallback", e)
-        _lib = None
-    return _lib
+        return None
 
 
 def available() -> bool:

@@ -89,9 +89,10 @@ class YOLOv3Detector(BasicBackbone):
         p32 = self._head_out_conv(net, c32, "32")
 
         # /16 head (yolov3_detector.py:103-126): branches off the raw s32
-        # feature, not the /32 head tower.
-        net = self.conv_bn(s32, 256, train=train)
-        net = self.activation(net)
+        # feature, not the /32 head tower.  conv_bn_relu so this 3x3 link
+        # rides the fused winograd path when eligible, like its siblings
+        # at the /32 and /8 towers (identical classic composition).
+        net = self.conv_bn_relu(s32, 256, train=train)
         net = upsample2x_nearest(net)
         merge16 = jnp.concatenate(
             [net, jnp.asarray(s16, net.dtype)], axis=-1)

@@ -55,11 +55,12 @@ def main(argv=None):
         generate(out, num_images=args.images, size=(512, 384))
     cfg = Config(input_image_size=(args.size[0], args.size[1], 3),
                  batch_size=args.batch, max_boxes=8, num_devices=1)
-    ds = Dataset(cfg, label, os.path.join(out, "images"), cache="auto")
-    from ..data.loader import CACHE_AUTO_LIMIT_BYTES
-    assert ds._cache is None or args.images * args.size[0] * args.size[1] \
-        * 3 <= CACHE_AUTO_LIMIT_BYTES, \
-        "auto cache should be off at corpus scale"
+    # cache=False, NOT "auto": the default 1000-image corpus at 416x416
+    # (519 MB) fits the auto-cache budget, and a RAM-cached second epoch
+    # would silently turn the "uncached streaming" figure into a
+    # np.stack-of-cached-arrays measurement
+    ds = Dataset(cfg, label, os.path.join(out, "images"), cache=False)
+    assert ds._cache is None
 
     if args.thread_sweep:
         # direct native-decoder benchmark: the C++ pool's thread-count

@@ -6,7 +6,7 @@ the real-sample overfit (mAP 0.9721); this tool turns the north star
 into a MEASUREMENT (round-2 verdict item 4):
 
   1. restore the committed real-sample overfit checkpoint
-     (models/resnet-18-radam-aug, 300-epoch TPU run on the reference's
+     (models/resnet-18-radam-aug-13c, 300-epoch TPU run on the reference's
      13-class 20-image sample);
   2. score it with OUR inference path (predict -> decode -> NMS ->
      in-repo evaluator) — the run.py --mode test flow;
@@ -43,7 +43,7 @@ def _score(cfg, forward, ds):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--checkpoint", default="models/resnet-18-radam-aug")
+    p.add_argument("--checkpoint", default="models/resnet-18-radam-aug-13c")
     p.add_argument("--report", default="PARITY_MAP.md",
                    help="write the measurement report here ('' = skip)")
     a = p.parse_args(argv)

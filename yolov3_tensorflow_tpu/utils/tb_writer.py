@@ -101,19 +101,28 @@ def _f_packed_doubles(field: int, vals: Sequence[float]) -> bytes:
 
 # --------------------------------------------------------------------- #
 # message builders (field numbers from the TF protos)
+def _bucket_limits() -> np.ndarray:
+    """TF-style bucket limits: +/- 1e-12 * 1.1^k geometric ladder.
+    Constant (~1500 entries) — built once, not per histogram call."""
+    limits = [1e-12]
+    while limits[-1] < 1e20:
+        limits.append(limits[-1] * 1.1)
+    return np.asarray([-x for x in reversed(limits)] + limits
+                      + [np.finfo(np.float64).max])
+
+
+_BUCKET_LIMITS = _bucket_limits()
+_BUCKET_BINS = np.concatenate(
+    [[-np.finfo(np.float64).max], _BUCKET_LIMITS])
+
+
 def _histogram_proto(values: np.ndarray) -> bytes:
     """HistogramProto with TF's exponential bucketing (summary.proto)."""
     v = np.asarray(values, np.float64).ravel()
     if v.size == 0:
         v = np.zeros((1,), np.float64)
-    # TF-style bucket limits: +/- 1e-12 * 1.1^k geometric ladder
-    limits = [1e-12]
-    while limits[-1] < 1e20:
-        limits.append(limits[-1] * 1.1)
-    limits = np.asarray([-x for x in reversed(limits)] + limits
-                        + [np.finfo(np.float64).max])
-    counts, _ = np.histogram(v, bins=np.concatenate(
-        [[-np.finfo(np.float64).max], limits]))
+    limits = _BUCKET_LIMITS
+    counts, _ = np.histogram(v, bins=_BUCKET_BINS)
     nz = counts.nonzero()[0]
     if nz.size:  # trim empty tails; TB only needs the populated span
         lo, hi = nz[0], nz[-1] + 1
