@@ -47,6 +47,19 @@ def build_config(args) -> "Config":
     if input_size:
         h, w = (int(x) for x in input_size.split("x"))
         overrides["input_image_size"] = (h, w, 3)
+    copts = getattr(args, "compiler_options", None)
+    if copts is not None:
+        # "flag=value,flag=value" -> ((flag, value), ...); values parse
+        # as int/bool where they look like one ("" = explicitly none)
+        pairs = []
+        for item in filter(None, copts.split(",")):
+            k, _, v = item.partition("=")
+            if v.lower() in ("true", "false"):
+                v = v.lower() == "true"
+            elif v.lstrip("-").isdigit():
+                v = int(v)
+            pairs.append((k, v))
+        overrides["compiler_options"] = tuple(pairs)
     multi_scale = getattr(args, "multi_scale", None)
     if multi_scale:
         sizes = tuple(tuple(int(v) for v in s.split("x"))
@@ -76,30 +89,50 @@ def train(cfg, trainer, derive_steps: bool = True):
     run 1-batch "epochs" and under-train by orders of magnitude."""
     import math
 
+    import jax
+
     from yolov3_tensorflow_tpu.data.loader import Dataset
     logging.info("loading train set: %s", cfg.train_label_path)
+
+    # Multi-host SPMD feeding: each process decodes a disjoint example
+    # shard and ships batch/process_count images; device_prefetch
+    # assembles the global batch (make_array_from_process_local_data).
+    # Single-process (this CLI's usual case): shard is a no-op and the
+    # sharded device_put still lands each batch shard directly on its
+    # mesh device instead of round-tripping through device 0.
+    procs = jax.process_count()
+    shard = (jax.process_index(), procs) if procs > 1 else None
+    local_bs = cfg.batch_size // procs if procs > 1 else None
+    if procs > 1 and cfg.batch_size % procs:
+        raise ValueError(f"batch_size {cfg.batch_size} does not divide "
+                         f"over {procs} processes")
 
     def spe_for(ds):
         if not derive_steps:
             return None  # trainer uses cfg.steps_per_epoch
-        spe = max(1, math.ceil(len(ds.examples) / cfg.batch_size))
+        spe = max(1, math.ceil(ds.global_size / cfg.batch_size))
         if spe != cfg.steps_per_epoch:
             logging.info("steps_per_epoch=%d derived from %d images "
                          "(pass --train_set_size to override)",
-                         spe, len(ds.examples))
+                         spe, ds.global_size)
         return spe
+
+    def feed(ds):
+        return ds.device_prefetch(batch_size=local_bs,
+                                  shardings=trainer.input_shardings)
 
     if cfg.multi_scale_sizes:
         datasets = {
             tuple(hw): Dataset(cfg, cfg.train_label_path, cfg.train_set_dir,
-                               dst_hw=tuple(hw))
+                               dst_hw=tuple(hw), shard=shard)
             for hw in cfg.multi_scale_sizes}
-        batches = {hw: ds.device_prefetch() for hw, ds in datasets.items()}
+        batches = {hw: feed(ds) for hw, ds in datasets.items()}
         trainer.train_multi_scale(
             batches, steps_per_epoch=spe_for(next(iter(datasets.values()))))
     else:
-        ds = Dataset(cfg, cfg.train_label_path, cfg.train_set_dir)
-        trainer.train(ds.device_prefetch(), steps_per_epoch=spe_for(ds))
+        ds = Dataset(cfg, cfg.train_label_path, cfg.train_set_dir,
+                     shard=shard)
+        trainer.train(feed(ds), steps_per_epoch=spe_for(ds))
     logging.info("training done")
 
 
@@ -198,6 +231,11 @@ def main(argv=None):
                    choices=["auto", "xla", "fused"],
                    help="noise-stage augment path (default auto = xla, "
                         "the measured winner; PERF.md)")
+    p.add_argument("--compiler_options", default=None,
+                   help="XLA compiler options for the jitted steps, "
+                        "'flag=value,flag=value' (the GPU session-config "
+                        "analog; default: measured per-hardware best — "
+                        "scoped VMEM 32 MiB on TPU; pass '' for none)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
     p.add_argument("--checkpoint_dir", default=None)

@@ -85,3 +85,22 @@ def test_cli_baseline_configs(sample_set, tmp_path, monkeypatch,
               "--test_set_dir", os.path.join(sample_set, "images"),
               "--save_path", out_dir, *common])
     assert len(glob.glob(os.path.join(out_dir, "*.jpg"))) == 8
+
+
+def test_cli_compiler_options_parse():
+    """--compiler_options 'flag=value,...' parses into the hashable
+    (flag, value) tuple form with int/bool coercion; '' = explicit ()."""
+    import argparse
+
+    from run import build_config
+
+    ns = argparse.Namespace(
+        compiler_options="xla_tpu_scoped_vmem_limit_kib=32768,"
+                         "xla_tpu_enable_latency_hiding_scheduler=true")
+    cfg = build_config(ns)
+    assert cfg.compiler_options == (
+        ("xla_tpu_scoped_vmem_limit_kib", 32768),
+        ("xla_tpu_enable_latency_hiding_scheduler", True))
+    assert build_config(
+        argparse.Namespace(compiler_options="")).compiler_options == ()
+    assert build_config(argparse.Namespace()).compiler_options is None

@@ -282,3 +282,50 @@ def test_dataset_drops_unreadable_files(tmp_path, caplog):
     label.write_text("missing.jpg 0.5 0.5 0.4 0.4 0\n")
     with pytest.raises(ValueError):
         Dataset(cfg, str(label), str(imgdir), cache=False)
+
+
+def test_dataset_process_shard_disjoint_union(sample_paths):
+    """Multi-host input sharding (the tf.data Dataset.shard analog):
+    per-process example sets are disjoint, their union is the corpus,
+    and global_size keeps the FULL count for steps_per_epoch math."""
+    cfg = Config(input_image_size=(96, 128, 3), max_boxes=8, batch_size=4)
+    shards = [Dataset(cfg, sample_paths["label"], sample_paths["images"],
+                      shard=(i, 3)) for i in range(3)]
+    paths = [set(e.path for e in ds.examples) for ds in shards]
+    assert all(ds.global_size == 20 for ds in shards)
+    assert sum(len(p) for p in paths) == 20
+    assert set.union(*paths) == set(
+        e.path for e in Dataset(cfg, sample_paths["label"],
+                                sample_paths["images"]).examples)
+    for i in range(3):
+        for j in range(i + 1, 3):
+            assert not (paths[i] & paths[j])
+    with pytest.raises(ValueError):
+        Dataset(cfg, sample_paths["label"], sample_paths["images"],
+                shard=(3, 3))
+
+
+def test_device_prefetch_sharded_lands_on_mesh(sample_paths):
+    """device_prefetch(shardings=...) must produce batches already laid
+    out as the jitted step's in_shardings (no implicit device-0 reshard)
+    with values identical to the unsharded path."""
+    from yolov3_tensorflow_tpu.parallel.mesh import (batch_sharding,
+                                                     image_sharding,
+                                                     make_mesh)
+    cfg = Config(input_image_size=(96, 128, 3), max_boxes=8, batch_size=8)
+    mesh = make_mesh(4)
+    img_s = image_sharding(mesh)
+    lab_s = batch_sharding(mesh)
+    ds = Dataset(cfg, sample_paths["label"], sample_paths["images"],
+                 shuffle=False)
+    b = next(ds.device_prefetch(shardings=(img_s, lab_s), repeat=False))
+    assert b.images.sharding.is_equivalent_to(img_s, b.images.ndim)
+    assert b.labels.sharding.is_equivalent_to(lab_s, b.labels.ndim)
+    assert len({s.device for s in b.images.addressable_shards}) == 4
+    ds2 = Dataset(cfg, sample_paths["label"], sample_paths["images"],
+                  shuffle=False)
+    b2 = next(ds2.device_prefetch(repeat=False))
+    np.testing.assert_array_equal(np.asarray(b.images),
+                                  np.asarray(b2.images))
+    np.testing.assert_array_equal(np.asarray(b.labels),
+                                  np.asarray(b2.labels))

@@ -225,3 +225,30 @@ def test_model_structure_after_other_trainer_mesh():
     hlo, summary = a._model_structure()  # must not raise / mis-trace
     assert "TOTAL parameters" in summary
     assert len(hlo) > 1000
+
+
+def test_compiler_options_plumbing(monkeypatch):
+    """cfg.compiler_options must reach every jitted step as jax.jit's
+    compiler_options dict; auto (None) applies nothing on CPU (TPU flag
+    names are unknown to the CPU compiler); () is explicitly none."""
+    captured = []
+    orig = jax.jit
+
+    def spy(fn, **kw):
+        captured.append(kw.pop("compiler_options", None))
+        return orig(fn, **kw)
+
+    import yolov3_tensorflow_tpu.train.trainer as trainer_mod
+    monkeypatch.setattr(trainer_mod.jax, "jit", spy)
+    YOLOv3Trainer(_cfg(compiler_options=(("xla_foo_flag", 32768),
+                                         ("xla_bar_flag", True))),
+                  restore=False, checkpoint_dir=tempfile.mkdtemp())
+    assert captured and all(
+        c == {"xla_foo_flag": 32768, "xla_bar_flag": True}
+        for c in captured)
+    captured.clear()
+    for copts in (None, ()):  # auto on CPU == explicitly none
+        YOLOv3Trainer(_cfg(compiler_options=copts), restore=False,
+                      checkpoint_dir=tempfile.mkdtemp())
+        assert captured and all(c is None for c in captured)
+        captured.clear()

@@ -249,6 +249,15 @@ class Config:
     # int8 is a bandwidth lever only; probe_int8_dot2.py).  Accuracy
     # gate: real-sample mAP within +/-0.5 of bf16 (PERF.md round 3).
     quant: str = "none"  # none | int8
+    # Per-program XLA compiler options passed to the jitted train/eval/
+    # predict steps (jax.jit(compiler_options=...)) — the TPU-native
+    # analog of the reference's GPU session tuning (run.py:124-131,
+    # allow_growth et al.).  A tuple of (flag, value) pairs (tuples keep
+    # the frozen Config hashable).  None = auto: on TPU apply the
+    # measured per-hardware best (xla_tpu_scoped_vmem_limit_kib=32768,
+    # +0.8% at b128 — 96 MiB REGRESSES 12%, see PERF.md round-3 sweep);
+    # () = explicitly no options.
+    compiler_options: "Tuple[Tuple[str, object], ...]" = None
 
     # ------------------------------------------------------------------ #
     # Derived fields (reference configs.py:43-49,73-79)

@@ -152,11 +152,28 @@ class Dataset:
     def __init__(self, cfg: Config, label_path: str, root_path: str,
                  is_test: bool = False, cache="auto",
                  shuffle: bool = True, seed: int = 6,
-                 dst_hw: Optional[Tuple[int, int]] = None):
+                 dst_hw: Optional[Tuple[int, int]] = None,
+                 shard: Optional[Tuple[int, int]] = None):
         self.cfg = cfg
         self.examples = parse_label_file(label_path, root_path)
         if not self.examples:
             raise ValueError(f"no examples parsed from {label_path}")
+        # multi-host input sharding (the tf.data Dataset.shard analog):
+        # shard=(process_index, process_count) keeps each host's example
+        # set disjoint so the per-host batches assemble into a global
+        # batch with no duplicated samples.  global_size stays the FULL
+        # corpus size — steps_per_epoch derivations must count the
+        # global epoch, not one host's slice.
+        self.global_size = len(self.examples)
+        if shard is not None:
+            index, count = shard
+            if not 0 <= index < count:
+                raise ValueError(f"shard index {index} outside [0, {count})")
+            self.examples = self.examples[index::count]
+            if not self.examples:
+                raise ValueError(
+                    f"shard {index}/{count} of {self.global_size} examples "
+                    "is empty — fewer images than hosts")
         self.dst_hw = dst_hw or (cfg.input_image_size[0],
                                  cfg.input_image_size[1])
         self.is_test = is_test
@@ -284,16 +301,45 @@ class Dataset:
 
     def device_prefetch(self, batch_size: Optional[int] = None,
                         repeat: bool = True, depth: int = 2,
-                        host_depth: int = 2) -> Iterator[Batch]:
+                        host_depth: int = 2,
+                        shardings: Optional[Tuple] = None) -> Iterator[Batch]:
         """Host prefetch + double-buffered async device transfer: the next
         batch's host->device copy overlaps the current step's compute
-        (jax.device_put is asynchronous)."""
+        (jax.device_put is asynchronous).
+
+        ``shardings``: optional (image_sharding, label_sharding) pair —
+        the trainer's ``input_shardings``.  With it, every transfer lands
+        each batch shard DIRECTLY on its mesh device instead of device 0
+        (a jitted step with sharded in_shardings otherwise reshards the
+        committed array through an extra device-to-device copy), and on a
+        multi-process runtime the per-host batch is assembled into the
+        global array via ``jax.make_array_from_process_local_data`` —
+        construct the Dataset with ``shard=(process_index, process_count)``
+        and a per-host ``batch_size`` of global/process_count there.
+        """
         import jax
+
+        if shardings is None:
+            put_img = put_lab = jax.device_put
+        else:
+            img_s, lab_s = shardings
+            if jax.process_count() > 1:
+                def put_img(x):
+                    return jax.make_array_from_process_local_data(img_s, x)
+
+                def put_lab(x):
+                    return jax.make_array_from_process_local_data(lab_s, x)
+            else:
+                def put_img(x):
+                    return jax.device_put(x, img_s)
+
+                def put_lab(x):
+                    return jax.device_put(x, lab_s)
 
         queue_: "list" = []
         for b in self.prefetch(batch_size, repeat, host_depth):
-            queue_.append(Batch(jax.device_put(b.images),
-                                jax.device_put(b.labels), b.paths))
+            queue_.append(Batch(put_img(b.images), put_lab(b.labels),
+                                b.paths))
             if len(queue_) >= depth:
                 yield queue_.pop(0)
         while queue_:

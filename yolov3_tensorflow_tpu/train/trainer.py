@@ -281,16 +281,16 @@ class YOLOv3Trainer:
         with_op_mesh = self._with_op_mesh
 
         return (
-            with_op_mesh(jax.jit(
+            with_op_mesh(self._jit(
                 train_step,
                 in_shardings=(repl, img_shard, data_shard),
                 out_shardings=(repl, repl),
                 donate_argnums=(0,))),
-            with_op_mesh(jax.jit(
+            with_op_mesh(self._jit(
                 eval_step,
                 in_shardings=(repl, img_shard, data_shard),
                 out_shardings=repl)),
-            with_op_mesh(jax.jit(
+            with_op_mesh(self._jit(
                 forward, in_shardings=(repl, img_shard),
                 out_shardings=repl)),
         )
@@ -438,6 +438,17 @@ class YOLOv3Trainer:
             self.ckpt.save(step, self.state, force=True)
 
     # ------------------------------------------------------------------ #
+    @property
+    def input_shardings(self):
+        """(image, label) shardings of the jitted steps' batch arguments.
+        Hand these to ``Dataset.device_prefetch(shardings=...)`` so each
+        host->device transfer lands every shard directly on its mesh
+        device (skipping the implicit device-0 reshard copy) and so
+        multi-host feeding can assemble the global batch."""
+        return (image_sharding(self.mesh, self.cfg.data_axis,
+                               self.cfg.model_axis),
+                batch_sharding(self.mesh, self.cfg.data_axis))
+
     def _pad_to_mesh(self, images):
         images = jnp.asarray(images)  # uint8 or float; normalized in-step
         n = images.shape[0]
@@ -447,6 +458,21 @@ class YOLOv3Trainer:
                 [images, jnp.zeros((pad,) + images.shape[1:],
                                    images.dtype)], axis=0)
         return images, n
+
+    def _jit(self, fn, **kw):
+        """jax.jit with the config's XLA compiler options attached (the
+        TPU-native analog of the reference's GPU session config,
+        run.py:124-131).  cfg.compiler_options None = auto: on TPU the
+        measured best scoped-VMEM budget (32 MiB, +0.8% at b128 — the
+        PERF.md round-3 sweep; 96 MiB REGRESSES 12%), nothing on CPU
+        (TPU flag names are unknown to the CPU compiler)."""
+        copts = self.cfg.compiler_options
+        if copts is None:
+            copts = (("xla_tpu_scoped_vmem_limit_kib", 32768),) \
+                if jax.default_backend() != "cpu" else ()
+        if copts:
+            kw["compiler_options"] = dict(copts)
+        return jax.jit(fn, **kw)
 
     def _with_op_mesh(self, fn):
         """Re-register this trainer's mesh with the Pallas ops right
@@ -537,13 +563,13 @@ class YOLOv3Trainer:
         with_op_mesh = self._with_op_mesh
 
         self._quant = {
-            "calib_first": with_op_mesh(jax.jit(
+            "calib_first": with_op_mesh(self._jit(
                 calib_first, in_shardings=(repl, img_shard),
                 out_shardings=repl)),
-            "calib_more": with_op_mesh(jax.jit(
+            "calib_more": with_op_mesh(self._jit(
                 calib_more, in_shardings=(repl, repl, img_shard),
                 out_shardings=repl)),
-            "forward": with_op_mesh(jax.jit(
+            "forward": with_op_mesh(self._jit(
                 qforward, in_shardings=(repl, repl, img_shard),
                 out_shardings=repl)),
         }
