@@ -10,6 +10,11 @@ synthetic device-resident data, steady-state, excluding compilation.
 ``python bench.py --infer [batch steps]`` instead measures the full
 inference path (forward + decode + batched on-device NMS), the
 reference's host-Python post-process bottleneck made device-native.
+
+``python bench.py --latency [batch requests]`` measures per-request
+serving latency (default batch 1): each request is dispatched and
+synced individually (scalar fetch — the serving client's view, relay
+dispatch overhead included), reporting p50/p90/p99.
 """
 from __future__ import annotations
 
@@ -20,6 +25,74 @@ import time
 import numpy as np
 
 BASELINE_IMG_S = 5000.0
+
+
+def main_latency(args):
+    """Per-request serving latency: batch-N request -> forward + decode +
+    device NMS -> sync (scalar fetch).  Unlike --infer (pipelined
+    throughput), every request blocks before the next is issued — the
+    number a latency-constrained serving deployment sees, including the
+    per-dispatch relay overhead."""
+    import tempfile
+
+    import jax  # noqa: F401  (device init before timing)
+    import jax.numpy as jnp
+
+    from yolov3_tensorflow_tpu.config import Config
+    from yolov3_tensorflow_tpu.models.detector import build_detector
+    from yolov3_tensorflow_tpu.ops.nms import BatchedNMS
+    from yolov3_tensorflow_tpu.train.trainer import (YOLOv3Trainer,
+                                                     _normalize_images)
+
+    quant = "--quant" in args
+    args = [a for a in args if a != "--quant"]
+    batch = int(args[0]) if args else 1
+    requests = int(args[1]) if len(args) > 1 else 100
+    cfg = Config(input_image_size=(416, 416, 3), batch_size=batch,
+                 max_boxes=32, num_devices=1, confidence_thresh=0.5,
+                 quant="int8" if quant else "none")
+    trainer = YOLOv3Trainer(cfg, restore=False,
+                            checkpoint_dir=tempfile.mkdtemp())
+    nms = BatchedNMS(cfg)
+    model = build_detector(cfg, quant="int8") if quant else trainer.model
+
+    import jax as _jax
+
+    @_jax.jit
+    def infer(state, qvars, images):
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        if quant:
+            variables["quant"] = qvars
+        heads = model.apply(variables, _normalize_images(images),
+                            train=False)
+        return nms(heads)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randint(0, 255, (batch, 416, 416, 3),
+                                     dtype=np.uint8))
+    qvars = trainer.calibrate(images) if quant else 0
+    for _ in range(5):  # compile + steady-state warmup
+        _ = float(jnp.sum(infer(trainer.state, qvars, images)))
+    lat = []
+    for _ in range(requests):
+        t0 = time.perf_counter()
+        _ = float(jnp.sum(infer(trainer.state, qvars, images)))
+        lat.append((time.perf_counter() - t0) * 1e3)
+    lat.sort()
+
+    def pct(p):
+        return round(lat[min(len(lat) - 1, int(p / 100 * len(lat)))], 3)
+
+    print(json.dumps({
+        "metric": f"serving_latency_ms_b{batch}_416"
+                  + ("_int8" if quant else ""),
+        "value": pct(50),
+        "unit": "ms",
+        "vs_baseline": None,  # the reference publishes no latency number
+        "p90": pct(90), "p99": pct(99),
+        "requests": requests,
+    }))
 
 
 def main_infer(args):
@@ -147,5 +220,7 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--infer":
         main_infer(sys.argv[2:])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--latency":
+        main_latency(sys.argv[2:])
     else:
         main()

@@ -9,6 +9,9 @@ Additions over the reference:
     external Cartucho/mAP tool, run.py:78-79)
   * --num_devices to size the data-parallel mesh (replaces
     gpu_num/visible_gpu)
+  * --serving_dir: test/predict straight from a save_serving export (the
+    serving-client path the reference delegates to external TF-Serving,
+    trainer.py:165-185)
 """
 from __future__ import annotations
 
@@ -236,6 +239,11 @@ def main(argv=None):
                         "'flag=value,flag=value' (the GPU session-config "
                         "analog; default: measured per-hardware best — "
                         "scoped VMEM 32 MiB on TPU; pass '' for none)")
+    p.add_argument("--serving_dir", default=None,
+                   help="test/predict from a save_serving export instead "
+                        "of a checkpoint (the serving-client path: no "
+                        "Python model code, no trainer); save_serving "
+                        "mode writes here (default cfg.serving_model_dir)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
     p.add_argument("--checkpoint_dir", default=None)
@@ -253,6 +261,21 @@ def main(argv=None):
     generate_logger(cfg.log_path)
     import jax
     logging.info("jax %s devices=%s", jax.__version__, jax.devices())
+
+    serving_dir = getattr(args, "serving_dir", None)
+    if serving_dir and cfg.mode in ("test", "predict"):
+        # serving-client path: inference from the deployed artifact
+        # alone — no checkpoint discovery, no model build.  ServingModel
+        # duck-types trainer.predict (uint8 batches, any size).
+        from yolov3_tensorflow_tpu.infer.export import ServingModel
+        model = ServingModel(serving_dir)
+        logging.info("serving export loaded: %s (batch %d, heads %s)",
+                     serving_dir, model.batch_size, model.head_names)
+        if cfg.mode == "test":
+            test(cfg, model)
+        else:
+            predict(cfg, model)
+        return
 
     trainer = YOLOv3Trainer(cfg, enable_tensorboard=args.tensorboard,
                             checkpoint_dir=args.checkpoint_dir)
@@ -281,7 +304,9 @@ def main(argv=None):
             logging.info("frozen model saved: %s", out)
         else:
             from yolov3_tensorflow_tpu.infer.export import save_serving
-            out = save_serving(trainer, cfg.serving_model_dir)
+            out = save_serving(trainer, serving_dir or cfg.serving_model_dir,
+                               batch_size=getattr(args, "batch_size", None)
+                               or 1)
             logging.info("serving model saved: %s", out)
     else:
         raise ValueError("Mode Error!")

@@ -87,6 +87,49 @@ def test_cli_baseline_configs(sample_set, tmp_path, monkeypatch,
     assert len(glob.glob(os.path.join(out_dir, "*.jpg"))) == 8
 
 
+def test_cli_serving_deploy_flow(sample_set, tmp_path, monkeypatch):
+    """The deployment story end-to-end through the CLI: train ->
+    save_serving -> test/predict FROM the export (--serving_dir), with
+    no checkpoint available to the consumer — the serving-client path
+    the reference delegates to external TF-Serving (trainer.py:165-185,
+    run.py:176-181)."""
+    monkeypatch.chdir(tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    common = ["--input_size", "96x128", "--batch_size", "4",
+              "--class_num", "3", "--max_boxes", "4",
+              "--train_set_size", "8", "--num_devices", "1",
+              "--no_augment"]
+    cli.main(["--mode", "train", "--epoch", "1", "--checkpoint_dir", ckpt,
+              "--train_label_path", os.path.join(sample_set, "label.txt"),
+              "--train_set_dir", os.path.join(sample_set, "images"),
+              *common])
+
+    served = str(tmp_path / "served")
+    cli.main(["--mode", "save_serving", "--serving_dir", served,
+              "--checkpoint_dir", ckpt, *common])
+    assert os.path.isfile(os.path.join(served, "model.stablehlo"))
+    assert os.path.isfile(os.path.join(served, "signature.json"))
+
+    # consumer runs: checkpoint_dir deliberately nonexistent — the
+    # serving path must not construct a trainer or touch checkpoints
+    out_dir = str(tmp_path / "out_serving")
+    cli.main(["--mode", "test", "--confidence_thresh", "0.1",
+              "--serving_dir", served,
+              "--checkpoint_dir", str(tmp_path / "no_such_ckpt"),
+              "--test_label_path", os.path.join(sample_set, "label.txt"),
+              "--test_set_dir", os.path.join(sample_set, "images"),
+              "--save_path", out_dir, *common])
+    assert len(glob.glob(os.path.join(out_dir, "*.jpg"))) == 8
+
+    pred_dir = str(tmp_path / "pred_serving")
+    cli.main(["--mode", "predict", "--confidence_thresh", "0.1",
+              "--serving_dir", served,
+              "--checkpoint_dir", str(tmp_path / "no_such_ckpt"),
+              "--image_root_path", os.path.join(sample_set, "images"),
+              "--save_path", pred_dir, *common])
+    assert len(glob.glob(os.path.join(pred_dir, "*.jpg"))) == 8
+
+
 def test_cli_compiler_options_parse():
     """--compiler_options 'flag=value,...' parses into the hashable
     (flag, value) tuple form with int/bool coercion; '' = explicit ()."""

@@ -212,6 +212,32 @@ def test_export_roundtrip_fp32():
                                        atol=1e-4)
 
 
+def test_serving_model_consumer():
+    """ServingModel must duck-type trainer.predict from the artifact
+    alone: uint8 input normalized host-side exactly like the trainer
+    (1/255), any request size chunked/zero-padded to the export's fixed
+    batch dim and sliced back (the serving-client analog of the
+    reference's external TF-Serving deployment, trainer.py:165-185)."""
+    from yolov3_tensorflow_tpu.infer.export import ServingModel, save_serving
+    cfg = _cfg()
+    tr = YOLOv3Trainer(cfg, restore=False,
+                       checkpoint_dir=tempfile.mkdtemp())
+    rng = np.random.RandomState(7)
+    images = rng.randint(0, 256, (5, 64, 64, 3), dtype=np.uint8)
+    with tempfile.TemporaryDirectory() as d:
+        save_serving(tr, d, batch_size=2)
+        sm = ServingModel(d)
+        assert sm.batch_size == 2
+        assert sm.input_hw == (64, 64)
+        assert sm.head_names == tuple(cfg.head_names)
+        out = sm.predict(images)  # 5 = 2 full chunks + ragged tail of 1
+    ref = tr.predict(images)
+    assert len(out) == len(ref)
+    for a, b in zip(out, ref):
+        assert a.shape == np.asarray(b).shape
+        np.testing.assert_allclose(a, np.asarray(b), atol=1e-4)
+
+
 def test_model_structure_after_other_trainer_mesh():
     """The AOT .lower surface must re-register ITS trainer's op mesh:
     building trainer B (8-device) after A (1-device) used to leave B's

@@ -88,9 +88,11 @@ def load_frozen(path: str):
     return exported.call
 
 
-def save_serving(trainer, directory: str):
+def save_serving(trainer, directory: str, batch_size: int = 1):
     """Serving-directory export (save_serving analog): weights + signature
-    + serialized graph."""
+    + serialized graph.  ``batch_size`` fixes the serialized graph's batch
+    dimension (jax.export requires static shapes); :class:`ServingModel`
+    chunks/pads arbitrary request sizes to it."""
     os.makedirs(directory, exist_ok=True)
     # weights (host numpy pytree, device-agnostic).  Include the
     # calibrated quant scales when exporting an int8 model: the frozen
@@ -105,13 +107,14 @@ def save_serving(trainer, directory: str):
     weights = jax.tree.map(lambda x: np.asarray(x), tree)
     with open(os.path.join(directory, "weights.pkl"), "wb") as f:
         pickle.dump(weights, f)
-    save_frozen(trainer, os.path.join(directory, "model.stablehlo"))
+    save_frozen(trainer, os.path.join(directory, "model.stablehlo"),
+                batch_size=batch_size)
     h, w, c = trainer.cfg.input_image_size
     sig = {
         "signature": "predict",
         # the serialized callable's exact aval (jax.export fixes the
-        # batch dim; keep this in lockstep with save_frozen's default)
-        "inputs": {"images": [1, int(h), int(w), int(c)]},
+        # batch dim; keep this in lockstep with save_frozen's shape)
+        "inputs": {"images": [int(batch_size), int(h), int(w), int(c)]},
         "outputs": list(trainer.cfg.head_names),
         "quant": trainer.cfg.quant,
     }
@@ -126,3 +129,51 @@ def load_serving(directory: str):
         sig = json.load(f)
     fn = load_frozen(os.path.join(directory, "model.stablehlo"))
     return fn, sig
+
+
+class ServingModel:
+    """Consumer for a :func:`save_serving` export — the serving-client
+    analog.  The reference stops at producing the SavedModel and leaves
+    execution to external TF-Serving (trainer.py:165-185, run.py:176-181);
+    this framework ships the consumer too, so ``run.py --mode
+    test|predict --serving_dir DIR`` runs inference from the deployed
+    artifact with no checkpoint and no Python model code.
+
+    ``predict`` keeps the live trainer's exact input contract
+    (trainer.predict, train/trainer.py): uint8 (or pre-normalized float)
+    image batches of ANY size.  Normalization happens here — the
+    serialized graph holds the post-normalize forward (see
+    :func:`_forward_fn`) — and requests are chunked/zero-padded to the
+    graph's fixed batch dimension, then sliced back.
+    """
+
+    def __init__(self, directory: str):
+        self.fn, self.signature = load_serving(directory)
+        self.batch_size = int(self.signature["inputs"]["images"][0])
+        self.input_hw = tuple(self.signature["inputs"]["images"][1:3])
+        self.head_names = tuple(self.signature["outputs"])
+
+    @staticmethod
+    def _normalize(images) -> np.ndarray:
+        # host-side mirror of trainer._normalize_images (1/255 for
+        # integer batches, reference file_util.py:58)
+        x = np.asarray(images)
+        if np.issubdtype(x.dtype, np.integer):
+            return x.astype(np.float32) * (1.0 / 255.0)
+        return x.astype(np.float32)
+
+    def predict(self, images) -> tuple:
+        x = self._normalize(images)
+        n, b = x.shape[0], self.batch_size
+        chunks = []
+        for start in range(0, n, b):
+            part = x[start:start + b]
+            if part.shape[0] != b:  # ragged tail: zero-pad to the aval
+                pad = np.zeros((b - part.shape[0],) + part.shape[1:],
+                               np.float32)
+                part = np.concatenate([part, pad], axis=0)
+            chunks.append(self.fn(part))
+        heads = tuple(
+            np.concatenate([np.asarray(c[i]) for c in chunks], axis=0)[:n]
+        for i in range(len(chunks[0])))
+        return heads
