@@ -271,6 +271,21 @@ def main(argv=None):
         model = ServingModel(serving_dir)
         logging.info("serving export loaded: %s (batch %d, heads %s)",
                      serving_dir, model.batch_size, model.head_names)
+        # The export's avals fix the input size; the Dataset must
+        # letterbox to IT, not to the CLI default.  Derive when the
+        # user didn't pass --input_size, reject a contradiction early
+        # (the aval mismatch it would cause is opaque).
+        hw = tuple(int(x) for x in model.input_hw)
+        if not getattr(args, "input_size", None):
+            cfg = cfg.replace(input_image_size=(hw[0], hw[1],
+                                                cfg.input_image_size[2]))
+            logging.info("input size derived from export: %dx%d", *hw)
+        elif tuple(cfg.input_image_size[:2]) != hw:
+            raise SystemExit(
+                f"--input_size {cfg.input_image_size[0]}x"
+                f"{cfg.input_image_size[1]} contradicts the serving "
+                f"export's fixed input {hw[0]}x{hw[1]} ({serving_dir}); "
+                "drop the flag or re-export")
         if cfg.mode == "test":
             test(cfg, model)
         else:
@@ -279,6 +294,16 @@ def main(argv=None):
 
     trainer = YOLOv3Trainer(cfg, enable_tensorboard=args.tensorboard,
                             checkpoint_dir=args.checkpoint_dir)
+    if cfg.mode in ("test", "predict", "save_pb", "save_serving") \
+            and int(trainer.state.step) == 0:
+        # Inference from a fresh init scores mAP ~0 with garbage boxes;
+        # fail fast like tools/map_parity.py:75 instead of silently
+        # evaluating random weights (reference run.py:41-80 likewise
+        # loads a trained model before test/predict).
+        raise SystemExit(
+            f"--mode {cfg.mode}: no checkpoint restored from "
+            f"{trainer.ckpt.directory} (step 0 = fresh init); train "
+            "first or pass --checkpoint_dir")
     if cfg.mode == "train":
         train(cfg, trainer,
               derive_steps=getattr(args, "train_set_size", None) is None)

@@ -129,6 +129,44 @@ def test_cli_serving_deploy_flow(sample_set, tmp_path, monkeypatch):
               "--save_path", pred_dir, *common])
     assert len(glob.glob(os.path.join(pred_dir, "*.jpg"))) == 8
 
+    # the export's fixed avals drive the input size: omitting
+    # --input_size must DERIVE 96x128 from the signature (not letterbox
+    # to the CLI default and die on an aval mismatch) ...
+    no_size = [f for f in common if f not in
+               ("--input_size", "96x128")]
+    out2 = str(tmp_path / "out_derived")
+    cli.main(["--mode", "test", "--confidence_thresh", "0.1",
+              "--serving_dir", served,
+              "--test_label_path", os.path.join(sample_set, "label.txt"),
+              "--test_set_dir", os.path.join(sample_set, "images"),
+              "--save_path", out2, *no_size])
+    assert len(glob.glob(os.path.join(out2, "*.jpg"))) == 8
+    # ... and a contradicting --input_size must fail fast with a clear
+    # message, before any batch is decoded
+    with pytest.raises(SystemExit, match="contradicts"):
+        cli.main(["--mode", "test", "--serving_dir", served,
+                  "--test_label_path",
+                  os.path.join(sample_set, "label.txt"),
+                  "--test_set_dir", os.path.join(sample_set, "images"),
+                  "--input_size", "128x160",
+                  *no_size])
+
+
+def test_cli_test_refuses_fresh_init(sample_set, tmp_path, monkeypatch):
+    """test/predict/save_* on a nonexistent checkpoint dir must fail
+    fast (reference run.py:41-80 loads a trained model first) — not
+    evaluate randomly-initialized weights to mAP ~0."""
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(SystemExit, match="no checkpoint restored"):
+        cli.main(["--mode", "test",
+                  "--checkpoint_dir", str(tmp_path / "missing"),
+                  "--test_label_path",
+                  os.path.join(sample_set, "label.txt"),
+                  "--test_set_dir", os.path.join(sample_set, "images"),
+                  "--input_size", "96x128", "--batch_size", "4",
+                  "--class_num", "3", "--max_boxes", "4",
+                  "--num_devices", "1"])
+
 
 def test_cli_compiler_options_parse():
     """--compiler_options 'flag=value,...' parses into the hashable

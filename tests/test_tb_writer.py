@@ -137,3 +137,42 @@ def test_metrics_writer_is_tf_free(tmp_path, monkeypatch, tf):
     assert "model/param_tree" in tags and "model/stablehlo" in tags
     assert os.path.exists(tmp_path / "tb" / "train_step_hlo.txt")
     assert os.path.exists(tmp_path / "tb" / "param_tree.txt")
+
+
+def test_varint_negative_step_terminates(tmp_path):
+    """Negative int64 varints must encode as 64-bit two's complement
+    (10 bytes) — the naive shift loop previously hung forever."""
+    from yolov3_tensorflow_tpu.utils.tb_writer import _varint
+    enc = _varint(-1)
+    assert len(enc) == 10  # proto int64 two's-complement encoding
+    # decode back
+    val = 0
+    for i, b in enumerate(enc):
+        val |= (b & 0x7F) << (7 * i)
+    assert val == (1 << 64) - 1
+    # writer-level: a negative-step scalar event must not hang and must
+    # still frame correctly
+    w = EventFileWriter(str(tmp_path))
+    w.scalar("sentinel", 1.0, step=-1)
+    w.close()
+    assert len(read_records(w.path)) == 2
+
+
+def test_histogram_nonfinite_values(tmp_path, tf):
+    """NaN/Inf in a histogram (e.g. a diverging bn_gamma) must not
+    produce a malformed proto: counts, num, min/max/sum must stay
+    consistent over the finite values TB can plot."""
+    vals = np.array([1.0, float("nan"), 2.0, float("inf"),
+                     -float("inf"), 3.0], np.float32)
+    w = EventFileWriter(str(tmp_path))
+    w.histogram("bn_gamma", vals, step=1)
+    w.close()
+    events = [tf.compat.v1.Event.FromString(r.numpy()) for r in
+              tf.data.TFRecordDataset(w.path)]
+    histo = events[1].summary.value[0].histo
+    assert histo.num == pytest.approx(3)
+    assert sum(histo.bucket) == pytest.approx(3)
+    assert histo.min == pytest.approx(1.0)
+    assert histo.max == pytest.approx(3.0)
+    assert histo.sum == pytest.approx(6.0)
+    assert np.isfinite(histo.sum_squares)

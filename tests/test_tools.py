@@ -92,6 +92,21 @@ def test_cli_build_config():
     assert cfg.head_channel_nums == (36, 24, 36)  # B*(5+7)
 
 
+def test_config_log_destinations_follow_log_dir():
+    """One knob moves ALL run logs: tensorboard_dir must honor log_dir
+    (previously hardcoded 'logs', splitting artifacts across two trees
+    when log_dir was overridden) while keeping the reference's
+    root_path prefix (configs.py:88-92)."""
+    from yolov3_tensorflow_tpu.config import Config
+    cfg = Config(log_dir="runlogs", root_path="base")
+    assert cfg.log_path.startswith("runlogs" + os.sep)
+    assert cfg.tensorboard_dir.startswith(os.path.join("base", "runlogs"))
+    # absolute log_dir overrides root_path for both (os.path.join)
+    cfg2 = Config(log_dir="/data/logs", root_path="base")
+    assert cfg2.log_path.startswith("/data/logs")
+    assert cfg2.tensorboard_dir.startswith("/data/logs")
+
+
 def test_hlo_stats_aggregation_and_format():
     """profiler.aggregate_hlo_stats / format_op_table on a synthetic
     xprof gviz table (the hlo_stats schema the TPU workflow parses)."""
@@ -119,6 +134,21 @@ def test_hlo_stats_aggregation_and_format():
     assert "0.35 ms/step" in text       # total 1750us / 5 steps
     assert "convolution fusion" in text
     assert "fusion.1" in text and "copy.1" not in text  # top_n=2
+    # zero-time rows (truncated capture) must format, not divide by zero
+    assert "0.0%" in format_op_table({"copy": 0.0}, []).replace(" ", "")
+
+
+def test_step_timer_reset_clears_samples():
+    """reset() between phases must drop phase-1 samples (previously it
+    only re-based the clock, mixing phases in summary())."""
+    from yolov3_tensorflow_tpu.utils.profiler import StepTimer
+    t = StepTimer(warmup=0)
+    t.step(4)
+    t.step(4)
+    t.reset()
+    assert t.summary() == {}
+    t.step(8)
+    assert t.summary()["steps"] == 1
 
 
 def test_cli_derives_steps_per_epoch(tmp_path):
@@ -147,6 +177,7 @@ def test_cli_derives_steps_per_epoch(tmp_path):
 
     class FakeTrainer:
         spe = "unset"
+        input_shardings = None  # run.train feeds device_prefetch with it
 
         def train(self, it, steps_per_epoch=None):
             self.spe = steps_per_epoch

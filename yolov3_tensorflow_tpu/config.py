@@ -305,8 +305,14 @@ class Config:
 
     @property
     def tensorboard_dir(self) -> str:
+        """root_path + log_dir + run tag (configs.py:90-92).  The
+        reference hardcodes 'logs/' here while log_path honors a
+        relocatable dir; both destinations follow ``log_dir`` so one
+        knob moves ALL run logs (an absolute log_dir overrides
+        root_path via os.path.join semantics, same as log_path)."""
         stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
-        return os.path.join(self.root_path, "logs", f"lpr-{self.type}-{stamp}")
+        return os.path.join(self.root_path, self.log_dir,
+                            f"lpr-{self.type}-{stamp}")
 
     @property
     def checkpoint_path(self) -> str:

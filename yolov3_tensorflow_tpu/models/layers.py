@@ -444,7 +444,7 @@ class BasicBackbone(nn.Module):
             + shift.reshape(bshape).astype(self.dtype)
 
     # ------------------------------------------------ fused stem -------
-    def stem_fused_ok(self, x, train: bool) -> bool:
+    def stem_fused_ok(self, x, train: bool, filters: int = 64) -> bool:
         """Gate for the fused stem (conv -> BN+maxpool+relu superkernel,
         ops/stem_pool.py): TPU-like backend, bf16, and the post-conv
         shape supported by the kernel.  ``auto`` engages it for TRAIN
@@ -458,8 +458,11 @@ class BasicBackbone(nn.Module):
         from ..ops.stem_pool import supported
         if self.stem_backend == "xla":
             return False
+        # ``filters`` must match the stem_conv_bn_pool_relu call this
+        # gate guards (the gate checks the POST-conv shape the kernel
+        # will see); keep them in lockstep.
         h, w = x.shape[1], x.shape[2]
-        shape = (h // 2, w // 2, 64, x.shape[0])
+        shape = (h // 2, w // 2, filters, x.shape[0])
         if self.stem_backend == "fused":
             return supported(shape)
         return (train and jax.default_backend() != "cpu"

@@ -148,7 +148,7 @@ class ResNet18(BasicBackbone):
     @nn.compact
     def __call__(self, x, train: bool = True):
         """(resnet18.py:53-69) -> (s8, s16, s32) NHWC features."""
-        stem_fused = self.stem_fused_ok(x, train)
+        stem_fused = self.stem_fused_ok(x, train, filters=64)
         n, h, w, _ = x.shape
         # per-shape chain engagement (the floor excludes module 1 by
         # default — at 64ch the winograd MAC cut cancels against MXU

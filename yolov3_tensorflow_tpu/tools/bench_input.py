@@ -91,6 +91,11 @@ def main(argv=None):
     for _ in range(args.steps):
         next(it)
     dt = time.perf_counter() - t0
+    # stop the phase-1 worker before any later timed phase: abandoned,
+    # it keeps decoding until its depth-4 queue fills, stealing the
+    # 1-core host from the --train measurement and charging its
+    # buffers to the final peak-RSS line
+    it.close()
     host_rate = args.batch * args.steps / dt
     print(f"host pipeline (uncached, native decode): {host_rate:.0f} img/s")
     print(f"peak RSS: {rss_gb():.2f} GB "

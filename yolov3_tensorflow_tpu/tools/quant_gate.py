@@ -39,6 +39,14 @@ def main(argv=None):
         ds = Dataset(cfg, cfg.test_label_path, cfg.test_set_dir,
                      is_test=True, shuffle=False)
         report = _score(cfg, lambda b: trainer.predict(b.images), ds)
+        if quant == "int8" and not trainer._quant_vars:
+            # predict silently falls back to the plain bf16 forward when
+            # no conv passes the eligibility gate — "PASS" would then
+            # certify a path that never ran
+            print("FAIL: quant='int8' quantized nothing (no eligible "
+                  "conv at this input size/backbone) — the gate cannot "
+                  "certify an int8 path that never executed")
+            return 2
         results[label] = report["mAP"]
         print(f"{label}  mAP@0.5 = {report['mAP']:.4f}")
 

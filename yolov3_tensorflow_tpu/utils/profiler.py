@@ -113,7 +113,10 @@ def format_op_table(by_cat, ops, top_n: int = 30,
                     steps: int = 1) -> str:
     """Human-readable per-op report; ``steps`` divides times into
     per-step figures."""
-    total = sum(by_cat.values())
+    # max(total, eps): a truncated/host-skewed capture can yield rows
+    # whose times are all zero — report 0% rather than lose the table
+    # to a ZeroDivisionError after the (expensive) traced run.
+    total = max(sum(by_cat.values()), 1e-12)
     lines = [f"== by category (total {total/1e3:.2f} ms across trace, "
              f"{total/1e3/steps:.2f} ms/step) =="]
     for cat, t in sorted(by_cat.items(), key=lambda kv: -kv[1]):
@@ -143,6 +146,11 @@ class StepTimer:
         self._last = time.perf_counter()
 
     def reset(self):
+        """Full reset: clears accumulated samples AND re-bases the clock
+        (previously only the clock, leaking phase-1 samples into a
+        phase-2 summary)."""
+        self._times = []
+        self._images = []
         self._last = time.perf_counter()
 
     def step(self, images: int = 0):

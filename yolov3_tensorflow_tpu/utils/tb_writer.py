@@ -63,6 +63,10 @@ def masked_crc32c(data: bytes) -> int:
 # --------------------------------------------------------------------- #
 # protobuf wire-format primitives
 def _varint(n: int) -> bytes:
+    if n < 0:
+        # proto varints encode negative int64 as 64-bit two's complement
+        # (10 bytes); without this, n >>= 7 stays negative forever.
+        n &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -119,6 +123,11 @@ _BUCKET_BINS = np.concatenate(
 def _histogram_proto(values: np.ndarray) -> bytes:
     """HistogramProto with TF's exponential bucketing (summary.proto)."""
     v = np.asarray(values, np.float64).ravel()
+    # Drop non-finite values: np.histogram excludes NaN/Inf from the
+    # bucket counts while they would still poison min/max/sum, producing
+    # a malformed proto TB cannot render — exactly when the user opens
+    # TB to diagnose a divergence.  Summary stats cover what is plotted.
+    v = v[np.isfinite(v)]
     if v.size == 0:
         v = np.zeros((1,), np.float64)
     limits = _BUCKET_LIMITS
