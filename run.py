@@ -1,341 +1,9 @@
-"""CLI entry point (reference: run.py:31-185).
-
-Dispatches on mode: train, test, predict, save_pb, save_serving.  Unlike
-the reference (which requires editing configs.py, README.md:42), every
-Config knob can be overridden from the command line.
-
-Additions over the reference:
-  * in-repo mAP@0.5 report in test mode (the reference leaves mAP to the
-    external Cartucho/mAP tool, run.py:78-79)
-  * --num_devices to size the data-parallel mesh (replaces
-    gpu_num/visible_gpu)
-  * --serving_dir: test/predict straight from a save_serving export (the
-    serving-client path the reference delegates to external TF-Serving,
-    trainer.py:165-185)
-"""
-from __future__ import annotations
-
-import argparse
-import glob
-import logging
-import os
-
-import numpy as np
-
-
-def build_config(args) -> "Config":
-    from yolov3_tensorflow_tpu.config import Config
-    cfg = Config()
-    overrides = {}
-    for field in ("mode", "model_backbone", "optimizer", "train_label_path",
-                  "train_set_dir", "test_label_path", "test_set_dir",
-                  "save_path", "image_root_path", "quant", "conv_backend",
-                  "stem_backend", "augment_backend"):
-        v = getattr(args, field, None)
-        if v is not None:
-            overrides[field] = v
-    for field in ("batch_size", "epoch", "class_num", "max_boxes",
-                  "rectified_coord_num", "num_devices", "train_set_size",
-                  "val_set_size", "spatial_partition"):
-        v = getattr(args, field, None)
-        if v is not None:
-            overrides[field] = v
-    for field in ("confidence_thresh", "nms_thresh", "init_lr"):
-        v = getattr(args, field, None)
-        if v is not None:
-            overrides[field] = v
-    # getattr like every other field: hand-built Namespaces (tests,
-    # embedders) need not enumerate every flag
-    input_size = getattr(args, "input_size", None)
-    if input_size:
-        h, w = (int(x) for x in input_size.split("x"))
-        overrides["input_image_size"] = (h, w, 3)
-    copts = getattr(args, "compiler_options", None)
-    if copts is not None:
-        # "flag=value,flag=value" -> ((flag, value), ...); values parse
-        # as int/bool where they look like one ("" = explicitly none)
-        pairs = []
-        for item in filter(None, copts.split(",")):
-            k, _, v = item.partition("=")
-            if v.lower() in ("true", "false"):
-                v = v.lower() == "true"
-            elif v.lstrip("-").isdigit():
-                v = int(v)
-            pairs.append((k, v))
-        overrides["compiler_options"] = tuple(pairs)
-    multi_scale = getattr(args, "multi_scale", None)
-    if multi_scale:
-        sizes = tuple(tuple(int(v) for v in s.split("x"))
-                      for s in multi_scale.split(","))
-        overrides["multi_scale_sizes"] = sizes
-    if getattr(args, "no_augment", False):
-        overrides["is_augment"] = False
-    # Boolean feature flags; getattr-with-default so a hand-built
-    # Namespace (tests, embedders) need not enumerate every flag.
-    for arg, field in (("focal_loss", "is_focal_loss"),
-                       ("tiou_recall", "is_tiou_recall"),
-                       ("giou_loss", "is_giou_loss"),
-                       ("ghm", "is_gradient_harmonized"),
-                       ("mixup", "is_mixup"),
-                       ("gaussian_yolo", "is_gaussian_yolo")):
-        if getattr(args, arg, False):
-            overrides[field] = True
-    return cfg.replace(**overrides)
-
-
-def train(cfg, trainer, derive_steps: bool = True):
-    """(run.py:31-38)
-
-    ``derive_steps``: without an explicit --train_set_size the epoch
-    length comes from the ACTUAL dataset (ceil(len/batch)); keeping the
-    config default (a 20-image fixture) on a real corpus would silently
-    run 1-batch "epochs" and under-train by orders of magnitude."""
-    import math
-
-    import jax
-
-    from yolov3_tensorflow_tpu.data.loader import Dataset
-    logging.info("loading train set: %s", cfg.train_label_path)
-
-    # Multi-host SPMD feeding: each process decodes a disjoint example
-    # shard and ships batch/process_count images; device_prefetch
-    # assembles the global batch (make_array_from_process_local_data).
-    # Single-process (this CLI's usual case): shard is a no-op and the
-    # sharded device_put still lands each batch shard directly on its
-    # mesh device instead of round-tripping through device 0.
-    procs = jax.process_count()
-    shard = (jax.process_index(), procs) if procs > 1 else None
-    local_bs = cfg.batch_size // procs if procs > 1 else None
-    if procs > 1 and cfg.batch_size % procs:
-        raise ValueError(f"batch_size {cfg.batch_size} does not divide "
-                         f"over {procs} processes")
-
-    def spe_for(ds):
-        if not derive_steps:
-            return None  # trainer uses cfg.steps_per_epoch
-        spe = max(1, math.ceil(ds.global_size / cfg.batch_size))
-        if spe != cfg.steps_per_epoch:
-            logging.info("steps_per_epoch=%d derived from %d images "
-                         "(pass --train_set_size to override)",
-                         spe, ds.global_size)
-        return spe
-
-    def feed(ds):
-        return ds.device_prefetch(batch_size=local_bs,
-                                  shardings=trainer.input_shardings)
-
-    if cfg.multi_scale_sizes:
-        datasets = {
-            tuple(hw): Dataset(cfg, cfg.train_label_path, cfg.train_set_dir,
-                               dst_hw=tuple(hw), shard=shard)
-            for hw in cfg.multi_scale_sizes}
-        batches = {hw: feed(ds) for hw, ds in datasets.items()}
-        trainer.train_multi_scale(
-            batches, steps_per_epoch=spe_for(next(iter(datasets.values()))))
-    else:
-        ds = Dataset(cfg, cfg.train_label_path, cfg.train_set_dir,
-                     shard=shard)
-        trainer.train(feed(ds), steps_per_epoch=spe_for(ds))
-    logging.info("training done")
-
-
-def test(cfg, trainer):
-    """Batch evaluation + visualization + in-repo mAP (run.py:41-80)."""
-    from yolov3_tensorflow_tpu.data.loader import Dataset
-    from yolov3_tensorflow_tpu.infer.evaluator import score_dataset
-
-    ds = Dataset(cfg, cfg.test_label_path, cfg.test_set_dir, is_test=True,
-                 shuffle=False)
-    report = score_dataset(cfg, lambda b: trainer.predict(b.images), ds,
-                           save_path=cfg.save_path)
-    logging.info("mAP@0.5 = %.4f (per-class: %s)", report["mAP"],
-                 report["per_class"])
-    return report
-
-
-def predict(cfg, trainer):
-    """Single-image prediction over a directory (run.py:83-120)."""
-    from yolov3_tensorflow_tpu.data.loader import load_image
-    from yolov3_tensorflow_tpu.infer.postprocess import (
-        YOLOv3PostProcessor, resize_boxes, visualize)
-
-    if not cfg.image_root_path or not os.path.isdir(cfg.image_root_path):
-        raise ValueError("image_root_path missing or not a directory")
-    os.makedirs(cfg.save_path, exist_ok=True)
-    post = YOLOv3PostProcessor(cfg)
-    dst_hw = (cfg.input_image_size[0], cfg.input_image_size[1])
-    input_box_size = np.array([dst_hw[1], dst_hw[0]] * 2, np.float64)
-    paths = sorted(glob.glob(os.path.join(cfg.image_root_path, "*.jpg")))
-    for path in paths:
-        img = load_image(path, dst_hw)
-        heads = trainer.predict(img[None])
-        head_boxes = post.process(heads)[0]
-        in_boxes = resize_boxes(head_boxes, input_box_size)
-        out = os.path.join(cfg.save_path, os.path.basename(path))
-        visualize(img, in_boxes, input_box_size, out)
-        logging.info("predicted %s -> %s", path, out)
-
-
-def main(argv=None):
-    p = argparse.ArgumentParser(description="TPU-native YOLOv3")
-    p.add_argument("--mode", default=None,
-                   choices=["train", "test", "predict", "save_pb",
-                            "save_serving"])
-    p.add_argument("--model_backbone", default=None)
-    p.add_argument("--optimizer", default=None)
-    p.add_argument("--train_label_path", default=None)
-    p.add_argument("--train_set_dir", default=None)
-    p.add_argument("--test_label_path", default=None)
-    p.add_argument("--test_set_dir", default=None)
-    p.add_argument("--save_path", default=None)
-    p.add_argument("--image_root_path", default=None)
-    p.add_argument("--input_size", default=None, help="HxW, e.g. 384x480")
-    p.add_argument("--multi_scale", default=None,
-                   help="comma-separated HxW list, e.g. 320x416,384x480")
-    p.add_argument("--batch_size", type=int, default=None)
-    p.add_argument("--epoch", type=int, default=None)
-    p.add_argument("--class_num", type=int, default=None)
-    p.add_argument("--max_boxes", type=int, default=None)
-    p.add_argument("--rectified_coord_num", type=int, default=None)
-    p.add_argument("--num_devices", type=int, default=None)
-    p.add_argument("--spatial_partition", type=int, default=None,
-                   help="shard image height over this many devices "
-                        "(mesh model axis; XLA GSPMD halo exchange)")
-    p.add_argument("--train_set_size", type=int, default=None,
-                   help="images per epoch (sets steps_per_epoch)")
-    p.add_argument("--val_set_size", type=int, default=None)
-    p.add_argument("--confidence_thresh", type=float, default=None)
-    p.add_argument("--nms_thresh", type=float, default=None)
-    p.add_argument("--init_lr", type=float, default=None)
-    p.add_argument("--no_augment", action="store_true")
-    p.add_argument("--focal_loss", action="store_true")
-    p.add_argument("--tiou_recall", action="store_true")
-    p.add_argument("--giou_loss", action="store_true",
-                   help="GIOU box regression (reference roadmap item)")
-    p.add_argument("--ghm", action="store_true",
-                   help="GHM-C confidence loss (reference roadmap item)")
-    p.add_argument("--mixup", action="store_true",
-                   help="detection mixup (reference roadmap item)")
-    p.add_argument("--gaussian_yolo", action="store_true",
-                   help="Gaussian YOLO uncertainty head (roadmap item)")
-    p.add_argument("--quant", default=None, choices=["none", "int8"],
-                   help="post-training int8 inference (test/predict "
-                        "modes): eligible convs run int8 with scales "
-                        "calibrated on the first batch")
-    p.add_argument("--conv_backend", default=None,
-                   choices=["auto", "xla", "winograd"],
-                   help="conv algorithm (default auto = the measured "
-                        "per-shape winner; PERF.md)")
-    p.add_argument("--stem_backend", default=None,
-                   choices=["auto", "xla", "fused"],
-                   help="stem BN+maxpool+relu path (default auto = "
-                        "fused Pallas kernel for TPU training)")
-    p.add_argument("--augment_backend", default=None,
-                   choices=["auto", "xla", "fused"],
-                   help="noise-stage augment path (default auto = xla, "
-                        "the measured winner; PERF.md)")
-    p.add_argument("--compiler_options", default=None,
-                   help="XLA compiler options for the jitted steps, "
-                        "'flag=value,flag=value' (the GPU session-config "
-                        "analog; default: measured per-hardware best — "
-                        "scoped VMEM 32 MiB on TPU; pass '' for none)")
-    p.add_argument("--serving_dir", default=None,
-                   help="test/predict from a save_serving export instead "
-                        "of a checkpoint (the serving-client path: no "
-                        "Python model code, no trainer); save_serving "
-                        "mode writes here (default cfg.serving_model_dir)")
-    p.add_argument("--cpu", action="store_true",
-                   help="force the CPU backend")
-    p.add_argument("--checkpoint_dir", default=None)
-    p.add_argument("--tensorboard", action="store_true")
-    args = p.parse_args(argv)
-
-    if args.cpu:
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-
-    cfg = build_config(args)
-    from yolov3_tensorflow_tpu.train.trainer import YOLOv3Trainer
-    from yolov3_tensorflow_tpu.utils.logger import generate_logger
-
-    generate_logger(cfg.log_path)
-    import jax
-    logging.info("jax %s devices=%s", jax.__version__, jax.devices())
-
-    serving_dir = getattr(args, "serving_dir", None)
-    if serving_dir and cfg.mode in ("test", "predict"):
-        # serving-client path: inference from the deployed artifact
-        # alone — no checkpoint discovery, no model build.  ServingModel
-        # duck-types trainer.predict (uint8 batches, any size).
-        from yolov3_tensorflow_tpu.infer.export import ServingModel
-        model = ServingModel(serving_dir)
-        logging.info("serving export loaded: %s (batch %d, heads %s)",
-                     serving_dir, model.batch_size, model.head_names)
-        # The export's avals fix the input size; the Dataset must
-        # letterbox to IT, not to the CLI default.  Derive when the
-        # user didn't pass --input_size, reject a contradiction early
-        # (the aval mismatch it would cause is opaque).
-        hw = tuple(int(x) for x in model.input_hw)
-        if not getattr(args, "input_size", None):
-            cfg = cfg.replace(input_image_size=(hw[0], hw[1],
-                                                cfg.input_image_size[2]))
-            logging.info("input size derived from export: %dx%d", *hw)
-        elif tuple(cfg.input_image_size[:2]) != hw:
-            raise SystemExit(
-                f"--input_size {cfg.input_image_size[0]}x"
-                f"{cfg.input_image_size[1]} contradicts the serving "
-                f"export's fixed input {hw[0]}x{hw[1]} ({serving_dir}); "
-                "drop the flag or re-export")
-        if cfg.mode == "test":
-            test(cfg, model)
-        else:
-            predict(cfg, model)
-        return
-
-    trainer = YOLOv3Trainer(cfg, enable_tensorboard=args.tensorboard,
-                            checkpoint_dir=args.checkpoint_dir)
-    if cfg.mode in ("test", "predict", "save_pb", "save_serving") \
-            and int(trainer.state.step) == 0:
-        # Inference from a fresh init scores mAP ~0 with garbage boxes;
-        # fail fast like tools/map_parity.py:75 instead of silently
-        # evaluating random weights (reference run.py:41-80 likewise
-        # loads a trained model before test/predict).
-        raise SystemExit(
-            f"--mode {cfg.mode}: no checkpoint restored from "
-            f"{trainer.ckpt.directory} (step 0 = fresh init); train "
-            "first or pass --checkpoint_dir")
-    if cfg.mode == "train":
-        train(cfg, trainer,
-              derive_steps=getattr(args, "train_set_size", None) is None)
-    elif cfg.mode == "test":
-        test(cfg, trainer)
-    elif cfg.mode == "predict":
-        predict(cfg, trainer)
-    elif cfg.mode in ("save_pb", "save_serving"):
-        if cfg.quant == "int8":
-            # bake calibrated activation scales into the exported int8
-            # graph: calibrate on the first test batch
-            from yolov3_tensorflow_tpu.data.loader import Dataset
-            ds = Dataset(cfg, cfg.test_label_path, cfg.test_set_dir,
-                         is_test=True, shuffle=False)
-            batch = next(ds.batches(repeat=False))
-            trainer.calibrate(batch.images)
-            logging.info("int8 export: calibrated on %d test images",
-                         len(batch.paths))
-        if cfg.mode == "save_pb":
-            from yolov3_tensorflow_tpu.infer.export import save_frozen
-            out = save_frozen(trainer, os.path.join(cfg.pb_model_dir,
-                                                    cfg.type + ".stablehlo"))
-            logging.info("frozen model saved: %s", out)
-        else:
-            from yolov3_tensorflow_tpu.infer.export import save_serving
-            out = save_serving(trainer, serving_dir or cfg.serving_model_dir,
-                               batch_size=getattr(args, "batch_size", None)
-                               or 1)
-            logging.info("serving model saved: %s", out)
-    else:
-        raise ValueError("Mode Error!")
-
+"""Launcher shim: ``python run.py ...`` == the packaged CLI
+(yolov3_tensorflow_tpu/cli.py, installed as ``yolov3-tpu``).  Kept at
+the repo root to mirror the reference's run.py entry convention
+(reference run.py:123)."""
+from yolov3_tensorflow_tpu.cli import (build_config, main,  # noqa: F401
+                                       predict, test, train)
 
 if __name__ == "__main__":
     main()

@@ -92,6 +92,22 @@ def test_cli_build_config():
     assert cfg.head_channel_nums == (36, 24, 36)  # B*(5+7)
 
 
+def test_packaging_entry_point_resolves():
+    """pyproject's console script must point at a real callable, and
+    run.py must stay a faithful shim of the packaged CLI."""
+    import importlib
+
+    tomllib = pytest.importorskip("tomllib")  # stdlib from 3.11
+    root = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(root, "pyproject.toml"), "rb") as fh:
+        meta = tomllib.load(fh)
+    mod_name, fn_name = meta["project"]["scripts"]["yolov3-tpu"].split(":")
+    fn = getattr(importlib.import_module(mod_name), fn_name)
+    assert callable(fn)
+    import run as shim
+    assert shim.main is fn  # the repo-root launcher is the same entry
+
+
 def test_config_log_destinations_follow_log_dir():
     """One knob moves ALL run logs: tensorboard_dir must honor log_dir
     (previously hardcoded 'logs', splitting artifacts across two trees

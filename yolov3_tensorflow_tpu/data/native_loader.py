@@ -20,6 +20,11 @@ import numpy as np
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "libyolo_loader.so")
+# installed wheels ship the prebuilt library as package data next to
+# this module (setup.py BuildPyWithNative); the repo-checkout path
+# above stays first so a dev rebuild (make -C native) wins
+_PKG_SO_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "libyolo_loader.so")
 
 _lib = None
 _lib_checked = False
@@ -57,10 +62,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
 
 def _load_locked() -> Optional[ctypes.CDLL]:
-    if not os.path.exists(_SO_PATH) and not _build():
-        return None
+    so = _SO_PATH
+    if not os.path.exists(so):
+        if os.path.exists(_PKG_SO_PATH):
+            so = _PKG_SO_PATH  # installed wheel: prebuilt package data
+        elif not (os.path.isdir(_NATIVE_DIR) and _build()):
+            return None
     try:
-        lib = ctypes.CDLL(_SO_PATH)
+        lib = ctypes.CDLL(so)
         lib.yolo_decode_letterbox_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte),
@@ -95,7 +104,10 @@ def decode_letterbox_batch(paths: List[str], dst_hw: Tuple[int, int],
     out = np.empty((n, h, w, 3), np.uint8)
     src_dims = np.empty((n, 2), np.int32)
     status = np.empty((n,), np.int32)
-    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    # fsencode, not str.encode: a non-UTF8 filename (surrogateescape-
+    # decoded by the OS) would UnicodeEncodeError the WHOLE batch onto
+    # the ~10x-slower all-PIL path; fsencode round-trips exactly
+    arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
     lib.yolo_decode_letterbox_batch(
         arr, n, h, w,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),

@@ -34,8 +34,7 @@ def main(argv=None):
                         "temp dir, discarded)")
     a = p.parse_args(argv)
 
-    import run as cli
-
+    from .. import cli
     from ..config import Config
     from ..train.trainer import YOLOv3Trainer
 
