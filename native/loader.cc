@@ -40,6 +40,10 @@ void error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
+// corrupt-data warnings surface through num_warnings -> status 4; the
+// default handler would also spam stderr once per repeat-epoch pass
+void silent_output(j_common_ptr) {}
+
 // Decode one JPEG file and letterbox it into out (dst_h*dst_w*3, BGR).
 // Returns 0 on success; fills src dims.  `src` is caller-owned scratch:
 // an automatic object modified between setjmp and longjmp has an
@@ -59,6 +63,7 @@ int decode_one(const char* path, int dst_h, int dst_w, unsigned char* out,
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
+  jerr.pub.output_message = silent_output;
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_decompress(&cinfo);
     std::fclose(f);
@@ -75,21 +80,44 @@ int decode_one(const char* path, int dst_h, int dst_w, unsigned char* out,
   *src_h_out = sh;
   *src_w_out = sw;
 
-  src.resize(static_cast<size_t>(sw) * sh * 3);
+  try {
+    src.resize(static_cast<size_t>(sw) * sh * 3);
+  } catch (const std::exception&) {
+    // bad_alloc from a huge-dimension header (65500x65500 is legal per
+    // the JPEG spec, ~12.8 GB decoded): an exception escaping the
+    // worker thread would std::terminate the whole process — report a
+    // per-image status instead (Python falls back to PIL, which
+    // raises its own DecompressionBomb/size errors)
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return 3;
+  }
   while (cinfo.output_scanline < cinfo.output_height) {
     unsigned char* row = src.data() + static_cast<size_t>(
         cinfo.output_scanline) * sw * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
+  // libjpeg reports a truncated stream (premature EOF) as a WARNING
+  // and fake-EOI-pads the remaining rows rather than calling
+  // error_exit; PIL raises on the same file.  Surface any
+  // corrupt-data warning as a failure so the per-image PIL fallback
+  // (data/loader.py) decides, keeping the two paths' accept/reject
+  // behavior aligned instead of silently training on garbage rows.
+  const long warnings = jerr.pub.num_warnings;
   jpeg_destroy_decompress(&cinfo);
   std::fclose(f);
+  if (warnings > 0) return 4;
 
   // letterbox geometry (data/loader.py letterbox_geometry)
   const double ratio = std::min(static_cast<double>(dst_h) / sh,
                                 static_cast<double>(dst_w) / sw);
-  const int rh = static_cast<int>(sh * ratio);
-  const int rw = static_cast<int>(sw * ratio);
+  // clamp to >=1: an extreme-aspect image (e.g. 4000x8 into 416x416)
+  // floors one resized axis to 0 — without the clamp this path emits
+  // an all-black image while the PIL path divides by zero (both
+  // clamp identically now; see data/loader.py letterbox_geometry)
+  const int rh = std::max(1, static_cast<int>(sh * ratio));
+  const int rw = std::max(1, static_cast<int>(sw * ratio));
   const int pt = (dst_h - rh) / 2;
   const int pl = (dst_w - rw) / 2;
 
@@ -142,9 +170,15 @@ void yolo_decode_letterbox_batch(const char** paths, int n, int dst_h,
     for (;;) {
       const int i = next.fetch_add(1);
       if (i >= n) return;
-      status[i] = decode_one(paths[i], dst_h, dst_w, out + i * img_bytes,
-                             &src_dims[i * 2], &src_dims[i * 2 + 1],
-                             scratch);
+      try {
+        status[i] = decode_one(paths[i], dst_h, dst_w, out + i * img_bytes,
+                               &src_dims[i * 2], &src_dims[i * 2 + 1],
+                               scratch);
+      } catch (...) {
+        // an exception escaping a std::thread calls std::terminate —
+        // never let one image kill the process
+        status[i] = 3;
+      }
     }
   };
   if (workers == 1) {

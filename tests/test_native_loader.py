@@ -44,3 +44,47 @@ def test_dataset_uses_native(sample_paths):
     ref = np.stack([load_image(ds_native.examples[i].path, (96, 128),
                                as_float=False) for i in range(4)])
     np.testing.assert_array_equal(b.images, ref)
+
+
+def test_extreme_aspect_clamps_and_matches_pil(tmp_path):
+    """A source whose limiting-axis floor would be 0 resized pixels
+    (4000x8 -> 416x416) must clamp to 1 px in BOTH paths — previously
+    PIL divided by zero while native emitted an all-black image."""
+    from PIL import Image
+    wide = str(tmp_path / "wide.jpg")
+    tall = str(tmp_path / "tall.jpg")
+    Image.fromarray(np.full((8, 4000, 3), 200, np.uint8)).save(wide)
+    Image.fromarray(np.full((4000, 8, 3), 200, np.uint8)).save(tall)
+    for p in (wide, tall):
+        imgs, _, status = native_loader.decode_letterbox_batch(
+            [p], (416, 416), strict=False)
+        assert status[0] == 0 and imgs[0].sum() > 0
+        ref = load_image(p, (416, 416), as_float=False)
+        np.testing.assert_array_equal(imgs[0], ref)
+
+
+def test_truncated_jpeg_rejected(tmp_path, sample_paths):
+    """libjpeg reports a truncated stream as a WARNING and pads with
+    garbage rows; the loader must surface it as a nonzero status (the
+    Dataset then falls back per-image to PIL, which raises) instead of
+    silently training on the padded image."""
+    src = open(f"{sample_paths['images']}/000001.jpg", "rb").read()
+    p = str(tmp_path / "trunc.jpg")
+    open(p, "wb").write(src[:len(src) // 2])
+    _, _, status = native_loader.decode_letterbox_batch(
+        [p], (96, 128), strict=False)
+    assert status[0] != 0
+    with pytest.raises(Exception):
+        load_image(p, (96, 128), as_float=False)  # PIL agrees: reject
+
+
+def test_non_utf8_filename(tmp_path, sample_paths):
+    """os.fsencode round-trips surrogateescape filenames; str.encode
+    previously raised and dumped the whole batch onto the PIL path."""
+    import os
+    import shutil
+    raw = b"caf\xe9.jpg"  # latin-1, not valid UTF-8
+    dst = os.path.join(os.fsdecode(bytes(tmp_path)), os.fsdecode(raw))
+    shutil.copy(f"{sample_paths['images']}/000001.jpg", dst)
+    imgs, _ = native_loader.decode_letterbox_batch([dst], (64, 64))
+    assert imgs.shape == (1, 64, 64, 3) and imgs.sum() > 0

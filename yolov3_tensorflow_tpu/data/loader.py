@@ -78,7 +78,11 @@ def letterbox_geometry(src_hw: Tuple[int, int],
     sh, sw = src_hw
     dh, dw = dst_hw
     ratio = min(dh / sh, dw / sw)
-    rh, rw = int(np.floor(sh * ratio)), int(np.floor(sw * ratio))
+    # clamp to >=1 pixel: an extreme-aspect source (4000x8 into 416x416)
+    # floors one axis to 0, which would divide by zero in the NEAREST
+    # index map; native/loader.cc clamps identically
+    rh = max(1, int(np.floor(sh * ratio)))
+    rw = max(1, int(np.floor(sw * ratio)))
     pt, pl = (dh - rh) // 2, (dw - rw) // 2
     return (rh, rw), (pt, pl)
 

@@ -66,7 +66,7 @@ import numpy as np
 
 from ..config import Config
 from .decoder import anchors_in_grid_units
-from .labels import valid_mask
+from .labels import decode_labels_single_head, valid_mask
 
 _EPS_DIV = 1e-12
 # Top clip bound for probabilities.  The reference clips at 1 - 1e-8
@@ -284,12 +284,13 @@ class YOLOv3Loss:
         stats = []
         t_grids = []
         for i in range(3):
-            h, w = cfg.head_grid_sizes[i]
-            wh_scale = jnp.asarray([w, h], jnp.float32)
-            txy = targets[..., 0:2] * wh_scale
-            twh = targets[..., 2:4] * wh_scale
-            t_grid = jnp.concatenate([txy, twh, targets[..., 4:5]], axis=-1)
-            t_grid = jnp.where(valid[..., None] > 0, t_grid, 0.0)
+            # canonical grid-unit scaling (label_decoder.py parity);
+            # padding rows are then zeroed so -1 sentinels cannot leak
+            # into IOU geometry, and corner boxes rebuilt from the
+            # sanitized grid targets
+            scaled, _ = decode_labels_single_head(targets,
+                                                  cfg.head_grid_sizes[i])
+            t_grid = jnp.where(valid[..., None] > 0, scaled, 0.0)
             half = t_grid[..., 2:4] / 2.0
             t_boxes = jnp.concatenate(
                 [t_grid[..., 0:2] - half, t_grid[..., 0:2] + half], axis=-1)
