@@ -32,6 +32,9 @@ def test_cli_train_test_predict(sample_set, tmp_path, monkeypatch):
     cli.main(["--mode", "train", "--epoch", "2",
               "--train_label_path", os.path.join(sample_set, "label.txt"),
               "--train_set_dir", os.path.join(sample_set, "images"),
+              # held-out val_loss per epoch (keras validation_data
+              # analog; the reference CLI never wires its val_set)
+              "--val_label_path", os.path.join(sample_set, "label.txt"),
               *common])
     assert os.path.isdir(ckpt) and os.listdir(ckpt), "no checkpoint saved"
 

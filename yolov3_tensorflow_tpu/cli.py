@@ -85,13 +85,19 @@ def build_config(args) -> "Config":
     return cfg.replace(**overrides)
 
 
-def train(cfg, trainer, derive_steps: bool = True):
+def train(cfg, trainer, derive_steps: bool = True,
+          val_label_path=None, val_set_dir=None):
     """(run.py:31-38)
 
     ``derive_steps``: without an explicit --train_set_size the epoch
     length comes from the ACTUAL dataset (ceil(len/batch)); keeping the
     config default (a 20-image fixture) on a real corpus would silently
-    run 1-batch "epochs" and under-train by orders of magnitude."""
+    run 1-batch "epochs" and under-train by orders of magnitude.
+
+    ``val_label_path``/``val_set_dir``: per-epoch val_loss over a
+    held-out set (the trainer.train val_set capability the reference
+    declares but never wires through its CLI — its run.py:37 passes
+    val_set=None into trainer.py:99)."""
     import math
 
     import jax
@@ -126,7 +132,26 @@ def train(cfg, trainer, derive_steps: bool = True):
         return ds.device_prefetch(batch_size=local_bs,
                                   shardings=trainer.input_shardings)
 
+    val_batches = None
+    if val_label_path:
+        val_ds = Dataset(cfg, val_label_path,
+                         val_set_dir or cfg.train_set_dir,
+                         shuffle=False, shard=shard)
+        if getattr(trainer.cfg, "val_set_size", None) != val_ds.global_size:
+            # validation_steps derives from the ACTUAL held-out set, like
+            # steps_per_epoch (ceil(len/batch), configs.py:82)
+            trainer.cfg = trainer.cfg.replace(
+                val_set_size=val_ds.global_size)
+        val_batches = feed(val_ds)
+        logging.info("validation set: %s (%d images, %d steps/epoch)",
+                     val_label_path, val_ds.global_size,
+                     trainer.cfg.validation_steps)
+
     if cfg.multi_scale_sizes:
+        if val_batches is not None:
+            logging.warning("--val_label_path is single-scale only "
+                            "(multi-scale epochs cycle compiled sizes); "
+                            "ignoring the validation set")
         datasets = {
             tuple(hw): Dataset(cfg, cfg.train_label_path, cfg.train_set_dir,
                                dst_hw=tuple(hw), shard=shard)
@@ -137,7 +162,8 @@ def train(cfg, trainer, derive_steps: bool = True):
     else:
         ds = Dataset(cfg, cfg.train_label_path, cfg.train_set_dir,
                      shard=shard)
-        trainer.train(feed(ds), steps_per_epoch=spe_for(ds))
+        trainer.train(feed(ds), val_batches=val_batches,
+                      steps_per_epoch=spe_for(ds))
     logging.info("training done")
 
 
@@ -187,6 +213,11 @@ def main(argv=None):
     p.add_argument("--optimizer", default=None)
     p.add_argument("--train_label_path", default=None)
     p.add_argument("--train_set_dir", default=None)
+    p.add_argument("--val_label_path", default=None,
+                   help="held-out label.txt: per-epoch val_loss "
+                        "(keras validation_data analog)")
+    p.add_argument("--val_set_dir", default=None,
+                   help="val image root (default: --train_set_dir)")
     p.add_argument("--test_label_path", default=None)
     p.add_argument("--test_set_dir", default=None)
     p.add_argument("--save_path", default=None)
@@ -308,7 +339,9 @@ def main(argv=None):
             "first or pass --checkpoint_dir")
     if cfg.mode == "train":
         train(cfg, trainer,
-              derive_steps=getattr(args, "train_set_size", None) is None)
+              derive_steps=getattr(args, "train_set_size", None) is None,
+              val_label_path=getattr(args, "val_label_path", None),
+              val_set_dir=getattr(args, "val_set_dir", None))
     elif cfg.mode == "test":
         test(cfg, trainer)
     elif cfg.mode == "predict":
