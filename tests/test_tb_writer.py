@@ -119,6 +119,7 @@ def test_metrics_writer_is_tf_free(tmp_path, monkeypatch, tf):
                  for i, k in enumerate(LOSS_KEYS)}
     tbw.write_epoch(0, 1e-3, 4.2, breakdown,
                     params={"bn": {"scale": np.ones((8,), np.float32)}})
+    tbw.write_epoch(1, 1e-3, 4.0, breakdown, val_loss=4.5)
     tbw.write_model_structure("module @step {}", "conv/kernel (3,3,3,8)")
     tbw.close()
     monkeypatch.setattr(builtins, "__import__", real_import)
@@ -128,6 +129,8 @@ def test_metrics_writer_is_tf_free(tmp_path, monkeypatch, tf):
         for tag in HEAD_TAGS:
             files = glob.glob(str(tmp_path / "tb" / key / tag / "events*"))
             assert files, f"missing run dir {key}/{tag}"
+    # val_loss overlays on the same "loss" tag in its own run dir
+    assert glob.glob(str(tmp_path / "tb" / "val_total" / "events*"))
     events = []
     for f in glob.glob(str(tmp_path / "tb" / "events*")):
         events += [tf.compat.v1.Event.FromString(r.numpy()) for r in

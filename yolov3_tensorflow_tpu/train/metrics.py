@@ -62,7 +62,8 @@ class TensorBoardWriter:
 
     def write_epoch(self, epoch: int, lr: float, total_loss: float,
                     breakdown: Dict[str, np.ndarray],
-                    params: Optional[dict] = None):
+                    params: Optional[dict] = None,
+                    val_loss: Optional[float] = None):
         # each sub-loss in its own subdir, same tag -> TB overlays
         # (board_callback.py:43-50, 91-104)
         for key in LOSS_KEYS:
@@ -70,6 +71,12 @@ class TensorBoardWriter:
             for tag, v in zip(HEAD_TAGS, vals):
                 self._writer(f"{key}/{tag}").scalar("loss", float(v), epoch)
         self._writer("total").scalar("loss", float(total_loss), epoch)
+        if val_loss is not None:
+            # keras puts val_loss into the logs dict the reference's TB
+            # callback forwards (board_callback.py:82-89); same overlay
+            # layout so train/val plot on one chart
+            self._writer("val_total").scalar("loss", float(val_loss),
+                                             epoch)
         self._main.scalar("learning_rate", float(lr), epoch)
         if params is not None:
             gammas = gamma_vector(params)

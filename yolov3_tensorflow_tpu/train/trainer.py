@@ -356,11 +356,9 @@ class YOLOv3Trainer:
             lr = float(np.asarray(metrics["lr"]))
             log_epoch(epoch, lr, total, float(mean["kernel_reg"]),
                       float(mean["gamma_reg"]), mean, time.time() - t0)
-            if self.tb is not None:
-                self.tb.write_epoch(epoch, lr, total, mean,
-                                    self.state.params)
             self.history.append(total)
 
+            val_loss = None
             if val_batches is not None:
                 vacc, vn = 0.0, 0
                 for _ in range(cfg.validation_steps):
@@ -370,7 +368,11 @@ class YOLOv3Trainer:
                                         jnp.asarray(vb.labels))
                     vacc += float(vm["total_loss"])
                     vn += 1
-                logging.info("  val_loss=%.5f", vacc / max(vn, 1))
+                val_loss = vacc / max(vn, 1)
+                logging.info("  val_loss=%.5f", val_loss)
+            if self.tb is not None:
+                self.tb.write_epoch(epoch, lr, total, mean,
+                                    self.state.params, val_loss=val_loss)
 
             # periodic checkpoint (trainer.py:90-91); async — the disk
             # write overlaps the next epoch (_final_save is synchronous)
