@@ -126,7 +126,20 @@ def main(argv=None):
                 f"| Keras reference rebuild | {theirs['mAP']:.4f} |\n\n"
                 f"{line}\n\n"
                 f"Per-class AP (ours): {json.dumps({str(k): round(v, 4) for k, v in ours['per_class'].items()})}\n\n"
-                f"Per-class AP (keras): {json.dumps({str(k): round(v, 4) for k, v in theirs['per_class'].items()})}\n")
+                f"Per-class AP (keras): {json.dumps({str(k): round(v, 4) for k, v in theirs['per_class'].items()})}\n\n"
+                "Reproduce (checkpoints are gitignored): `python -m "
+                "yolov3_tensorflow_tpu.tools.sanity_overfit --epochs "
+                "300 --label_path /root/reference/dataset/test_sample/"
+                "label.txt --image_dir /root/reference/dataset/"
+                "test_sample/images --class_num 13 --checkpoint_dir "
+                f"{a.checkpoint}` (~15 min on one v5e chip), then "
+                "`python -m yolov3_tensorflow_tpu.tools.map_parity "
+                f"--checkpoint {a.checkpoint}` (~10 min, CPU).  "
+                "tests/test_map_parity.py asserts the gate whenever "
+                "the checkpoint is present.  Absolute mAP varies a few "
+                "tenths run-to-run with the training RNG; the GATE is "
+                "the delta, and the per-class APs match to 4 decimals "
+                "on every run recorded.\n")
         print("report written to", a.report)
     return 0 if ok else 1
 
