@@ -5,6 +5,7 @@ import sys
 import tempfile
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
@@ -195,7 +196,7 @@ def test_cli_derives_steps_per_epoch(tmp_path):
         spe = "unset"
         input_shardings = None  # run.train feeds device_prefetch with it
 
-        def train(self, it, steps_per_epoch=None):
+        def train(self, it, val_batches=None, steps_per_epoch=None):
             self.spe = steps_per_epoch
 
     ft = FakeTrainer()
@@ -222,3 +223,46 @@ def test_generate_logger_idempotent(tmp_path):
     for h in list(root.handlers)[before:]:
         root.removeHandler(h)
         h.close()
+
+
+def test_coco_to_labels_roundtrip(tmp_path):
+    """COCO JSON -> label.txt: corner+size boxes become normalized
+    center/size, sparse category ids densify in ascending order,
+    iscrowd/degenerate boxes drop, and the output parses through the
+    real Dataset loader."""
+    import json
+
+    from yolov3_tensorflow_tpu.data.loader import parse_label_file
+    from yolov3_tensorflow_tpu.tools import coco_to_labels
+
+    coco = {
+        "images": [
+            {"id": 7, "file_name": "a.jpg", "width": 200, "height": 100},
+            {"id": 9, "file_name": "b.jpg", "width": 100, "height": 100},
+        ],
+        # sparse ids 3 and 18 -> dense 0 and 1 (ascending id order)
+        "categories": [{"id": 18, "name": "dog"}, {"id": 3, "name": "cat"}],
+        "annotations": [
+            # a.jpg: 50x20 box at (100, 40) -> cx=(100+25)/200, cy=0.5
+            {"image_id": 7, "category_id": 18, "bbox": [100, 40, 50, 20]},
+            {"image_id": 7, "category_id": 3, "bbox": [0, 0, 20, 10]},
+            # crowd region and zero-area box must drop
+            {"image_id": 9, "category_id": 3, "bbox": [1, 1, 5, 5],
+             "iscrowd": 1},
+            {"image_id": 9, "category_id": 3, "bbox": [10, 10, 0, 5]},
+        ],
+    }
+    src = tmp_path / "inst.json"
+    src.write_text(json.dumps(coco))
+    out = tmp_path / "label.txt"
+    coco_to_labels.main([str(src), "--out", str(out), "--keep_empty"])
+
+    assert (tmp_path / "class.txt").read_text() == "cat\ndog\n"
+    ex = parse_label_file(str(out), str(tmp_path))
+    assert [os.path.basename(e.path) for e in ex] == ["a.jpg", "b.jpg"]
+    a, b = ex[0].labels, ex[1].labels
+    assert b.shape == (0, 5)  # both of b's boxes dropped, row kept
+    np.testing.assert_allclose(
+        a, [[0.625, 0.5, 0.25, 0.2, 1.0],      # dog -> dense 1
+            [0.05, 0.05, 0.1, 0.1, 0.0]],      # cat -> dense 0
+        atol=1e-6)
