@@ -278,3 +278,54 @@ def test_compiler_options_plumbing(monkeypatch):
                       checkpoint_dir=tempfile.mkdtemp())
         assert captured and all(c is None for c in captured)
         captured.clear()
+
+
+def test_validation_factory_fresh_stream_each_epoch():
+    """keras Model.fit re-evaluates the SAME validation set every epoch
+    (validation_data is reset per epoch); the trainer therefore accepts
+    val_batches as a zero-arg FACTORY and opens a fresh stream per epoch,
+    so every epoch scores the identical window even when batch_size does
+    not divide the set (a persistent repeat=True iterator would drift by
+    batch*ceil(size/batch) - size images per epoch).  A plain iterator
+    stays accepted for callers that manage alignment themselves."""
+    from yolov3_tensorflow_tpu.data.loader import Batch
+    cfg = _cfg(val_set_size=12)  # ceil(12/8) = 2 validation steps
+    assert cfg.validation_steps == 2
+    tr = YOLOv3Trainer(cfg, restore=False,
+                       checkpoint_dir=tempfile.mkdtemp())
+    images, labels = _batch(8)
+
+    class Stream:
+        def __init__(self):
+            self.served = 0
+            self.closed = False
+
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            self.served += 1
+            return Batch(np.asarray(images), np.asarray(labels))
+
+        def close(self):
+            self.closed = True
+
+    made = []
+
+    def factory():
+        made.append(Stream())
+        return made[-1]
+
+    def batches():
+        while True:
+            yield Batch(np.asarray(images), np.asarray(labels))
+
+    tr.train(batches(), val_batches=factory, epochs=2, steps_per_epoch=1)
+    assert len(made) == 2, "factory must be invoked once per epoch"
+    assert [s.served for s in made] == [2, 2]
+    assert all(s.closed for s in made), "per-epoch streams must be closed"
+
+    # legacy plain-iterator: consumed in place, never closed by the loop
+    legacy = Stream()
+    tr.train(batches(), val_batches=legacy, epochs=3, steps_per_epoch=1)
+    assert legacy.served == 2 and not legacy.closed

@@ -142,7 +142,11 @@ def train(cfg, trainer, derive_steps: bool = True,
             # steps_per_epoch (ceil(len/batch), configs.py:82)
             trainer.cfg = trainer.cfg.replace(
                 val_set_size=val_ds.global_size)
-        val_batches = feed(val_ds)
+        # factory, not iterator: the trainer opens a FRESH stream each
+        # epoch so every epoch scores the identical val window (keras
+        # resets validation_data per epoch; a persistent repeat=True
+        # stream drifts when batch does not divide the set)
+        val_batches = lambda: feed(val_ds)  # noqa: E731
         logging.info("validation set: %s (%d images, %d steps/epoch)",
                      val_label_path, val_ds.global_size,
                      trainer.cfg.validation_steps)

@@ -360,14 +360,32 @@ class YOLOv3Trainer:
 
             val_loss = None
             if val_batches is not None:
-                vacc, vn = 0.0, 0
-                for _ in range(cfg.validation_steps):
-                    vb = next(val_batches)
-                    vm = self.eval_step(self.state,
-                                        jnp.asarray(vb.images),
-                                        jnp.asarray(vb.labels))
-                    vacc += float(vm["total_loss"])
-                    vn += 1
+                # keras re-evaluates the SAME validation set each epoch
+                # (Model.fit resets validation_data); a persistent
+                # repeat=True stream would drift by (batch*ceil - size)
+                # images per epoch whenever batch does not divide the
+                # set, making val_loss incomparable across epochs.  A
+                # zero-arg callable is therefore treated as a factory:
+                # one fresh iterator per epoch, every epoch scoring the
+                # identical window.  A plain iterator is still accepted
+                # (static batch shape, caller manages alignment).
+                vit = val_batches() if callable(val_batches) \
+                    else val_batches
+                try:
+                    vacc, vn = 0.0, 0
+                    for _ in range(cfg.validation_steps):
+                        try:
+                            vb = next(vit)
+                        except StopIteration:
+                            break
+                        vm = self.eval_step(self.state,
+                                            jnp.asarray(vb.images),
+                                            jnp.asarray(vb.labels))
+                        vacc += float(vm["total_loss"])
+                        vn += 1
+                finally:
+                    if vit is not val_batches and hasattr(vit, "close"):
+                        vit.close()
                 val_loss = vacc / max(vn, 1)
                 logging.info("  val_loss=%.5f", val_loss)
             if self.tb is not None:
