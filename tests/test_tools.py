@@ -266,3 +266,35 @@ def test_coco_to_labels_roundtrip(tmp_path):
         a, [[0.625, 0.5, 0.25, 0.2, 1.0],      # dog -> dense 1
             [0.05, 0.05, 0.1, 0.1, 0.0]],      # cat -> dense 0
         atol=1e-6)
+
+
+def test_coco_to_labels_orphans_and_whitespace_names(tmp_path):
+    """Malformed-but-real COCO inputs must degrade gracefully: an
+    annotation pointing at a missing image or an unlisted category_id
+    drops (no KeyError), and a file_name containing whitespace is
+    skipped with a warning — label.txt rows are whitespace-split
+    (loader.py:63), so such a path would shear the row into garbage."""
+    import json
+
+    from yolov3_tensorflow_tpu.tools import coco_to_labels
+
+    coco = {
+        "images": [
+            {"id": 1, "file_name": "ok.jpg", "width": 10, "height": 10},
+            {"id": 2, "file_name": "has space.jpg", "width": 10,
+             "height": 10},
+        ],
+        "categories": [{"id": 5, "name": "cat"}],
+        "annotations": [
+            {"image_id": 1, "category_id": 5, "bbox": [1, 1, 4, 4]},
+            # orphan image id and orphan category id: drop, don't crash
+            {"image_id": 99, "category_id": 5, "bbox": [1, 1, 4, 4]},
+            {"image_id": 1, "category_id": 77, "bbox": [1, 1, 4, 4]},
+            # lands on the whitespace-named image -> whole row skipped
+            {"image_id": 2, "category_id": 5, "bbox": [2, 2, 4, 4]},
+        ],
+    }
+    lines, names = coco_to_labels.convert(coco, keep_empty=True)
+    assert names == ["cat"]
+    assert len(lines) == 1 and lines[0].startswith("ok.jpg ")
+    assert all("has space" not in ln for ln in lines)

@@ -46,7 +46,9 @@ def convert(coco: dict, keep_empty: bool = False):
             dropped += 1
             continue
         im = images.get(ann["image_id"])
-        if im is None:
+        if im is None or ann.get("category_id") not in dense:
+            # orphan annotation: missing image row or a category_id
+            # absent from the categories table — skip, don't traceback
             dropped += 1
             continue
         iw, ih = float(im["width"]), float(im["height"])
@@ -70,6 +72,14 @@ def convert(coco: dict, keep_empty: bool = False):
     for im_id in sorted(images):
         boxes = boxes_by_image[im_id]
         name = images[im_id]["file_name"]
+        if any(c.isspace() for c in name):
+            # label.txt rows are whitespace-split (loader.py:63, the
+            # reference's tf.string_split) — a path with spaces would
+            # silently shear the row into garbage floats
+            logging.warning("skipping %r: whitespace in file_name "
+                            "cannot be represented in label.txt", name)
+            dropped += len(boxes)
+            continue
         if boxes:
             lines.append(name + " " + " ".join(boxes))
         elif keep_empty:
