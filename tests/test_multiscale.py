@@ -41,3 +41,48 @@ def test_multi_scale_training_cycles_sizes():
     # loss magnitudes differ by size (noobj sums over the grid), so compare
     # only same-size epochs: epoch 2 (64x64) vs epoch 0 (64x64)
     assert tr.history[2] < tr.history[0]
+
+
+def test_multi_scale_validation_at_fixed_size():
+    """Multi-scale epochs cycle the TRAIN size; a held-out validation
+    stream keeps its own fixed size (eval_step retraces per shape), so
+    val_loss stays epoch-comparable across the rotation.  Same factory
+    semantics as trainer.train: one fresh stream per epoch, closed."""
+    cfg = Config(input_image_size=(64, 64, 3), batch_size=8, max_boxes=4,
+                 rectified_coord_num=-1, is_augment=False,
+                 compute_dtype="float32", ckpt_period=1000,
+                 val_set_size=12,  # ceil(12/8) = 2 validation steps
+                 multi_scale_sizes=((64, 64), (96, 96)))
+    tr = YOLOv3Trainer(cfg, restore=False,
+                       checkpoint_dir=tempfile.mkdtemp())
+    batches = {hw: _iter(hw, 8, i) for i, hw in
+               enumerate(cfg.multi_scale_sizes)}
+
+    made = []
+
+    def factory():
+        it = _iter((64, 64), 8, seed=99)
+        closed = []
+
+        class Stream:
+            def __iter__(self):
+                return self
+
+            def __next__(self):
+                self.served = getattr(self, "served", 0) + 1
+                return next(it)
+
+            def close(self):
+                closed.append(True)
+                self.closed = True
+
+        s = Stream()
+        made.append(s)
+        return s
+
+    tr.train_multi_scale(batches, val_batches=factory, epochs=2,
+                         steps_per_epoch=1)
+    assert len(made) == 2, "fresh validation stream per epoch"
+    assert [s.served for s in made] == [2, 2]
+    assert all(getattr(s, "closed", False) for s in made)
+    assert int(tr.state.step) == 2

@@ -329,3 +329,40 @@ def test_validation_factory_fresh_stream_each_epoch():
     legacy = Stream()
     tr.train(batches(), val_batches=legacy, epochs=3, steps_per_epoch=1)
     assert legacy.served == 2 and not legacy.closed
+
+
+def test_stop_monitor_val_loss():
+    """cfg.stop_monitor='val_loss' early-stops on the held-out metric
+    (the keras EarlyStopping default; the reference pins 'loss'),
+    fails fast when no validation set is wired, and rejects unknown
+    monitor names."""
+    from yolov3_tensorflow_tpu.data.loader import Batch
+    images, labels = _batch(8)
+
+    def batches():
+        while True:
+            yield Batch(np.asarray(images), np.asarray(labels))
+
+    def val_factory():
+        return iter([Batch(np.asarray(images), np.asarray(labels))] * 2)
+
+    # no validation set -> fail fast, not a 500-patience silent no-op
+    cfg = _cfg(val_set_size=12, stop_monitor="val_loss")
+    tr = YOLOv3Trainer(cfg, restore=False,
+                       checkpoint_dir=tempfile.mkdtemp())
+    with pytest.raises(ValueError, match="val_loss"):
+        tr.train(batches(), epochs=1, steps_per_epoch=1)
+    with pytest.raises(ValueError, match="stop_monitor"):
+        YOLOv3Trainer(_cfg(stop_monitor="bogus"), restore=False,
+                      checkpoint_dir=tempfile.mkdtemp()).train(
+            batches(), epochs=1, steps_per_epoch=1)
+
+    # impossible min_delta: every epoch is "no improvement" on val_loss,
+    # so patience=1 stops after the second epoch despite epochs=6
+    cfg = _cfg(val_set_size=12, stop_monitor="val_loss",
+               stop_patience=1, stop_min_delta=1e9)
+    tr = YOLOv3Trainer(cfg, restore=False,
+                       checkpoint_dir=tempfile.mkdtemp())
+    tr.train(batches(), val_batches=val_factory, epochs=6,
+             steps_per_epoch=1)
+    assert int(tr.state.step) == 2, "early stop on val_loss at patience=1"

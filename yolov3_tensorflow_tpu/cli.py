@@ -32,7 +32,7 @@ def build_config(args) -> "Config":
     for field in ("mode", "model_backbone", "optimizer", "train_label_path",
                   "train_set_dir", "test_label_path", "test_set_dir",
                   "save_path", "image_root_path", "quant", "conv_backend",
-                  "stem_backend", "augment_backend"):
+                  "stem_backend", "augment_backend", "stop_monitor"):
         v = getattr(args, field, None)
         if v is not None:
             overrides[field] = v
@@ -152,17 +152,17 @@ def train(cfg, trainer, derive_steps: bool = True,
                      trainer.cfg.validation_steps)
 
     if cfg.multi_scale_sizes:
-        if val_batches is not None:
-            logging.warning("--val_label_path is single-scale only "
-                            "(multi-scale epochs cycle compiled sizes); "
-                            "ignoring the validation set")
         datasets = {
             tuple(hw): Dataset(cfg, cfg.train_label_path, cfg.train_set_dir,
                                dst_hw=tuple(hw), shard=shard)
             for hw in cfg.multi_scale_sizes}
         batches = {hw: feed(ds) for hw, ds in datasets.items()}
+        # the val stream keeps ITS fixed --input_size while train sizes
+        # cycle (eval_step retraces per shape), so val_loss stays
+        # epoch-comparable across the size rotation
         trainer.train_multi_scale(
-            batches, steps_per_epoch=spe_for(next(iter(datasets.values()))))
+            batches, val_batches=val_batches,
+            steps_per_epoch=spe_for(next(iter(datasets.values()))))
     else:
         ds = Dataset(cfg, cfg.train_label_path, cfg.train_set_dir,
                      shard=shard)
@@ -222,6 +222,10 @@ def main(argv=None):
                         "(keras validation_data analog)")
     p.add_argument("--val_set_dir", default=None,
                    help="val image root (default: --train_set_dir)")
+    p.add_argument("--stop_monitor", default=None,
+                   choices=("loss", "val_loss"),
+                   help="early-stop metric: 'loss' (reference default) "
+                        "or 'val_loss' (needs --val_label_path)")
     p.add_argument("--test_label_path", default=None)
     p.add_argument("--test_set_dir", default=None)
     p.add_argument("--save_path", default=None)

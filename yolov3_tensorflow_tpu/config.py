@@ -169,6 +169,10 @@ class Config:
     ckpt_period: int = 50
     stop_patience: int = 500
     stop_min_delta: float = 1e-4
+    # early-stop metric: "loss" is the reference's EarlyStopping monitor
+    # (trainer.py:92-93); "val_loss" (the keras default) additionally
+    # requires a wired validation set (--val_label_path)
+    stop_monitor: str = "loss"
     ckpt_max_keep: int = 3
     root_path: str = ""
     log_dir: str = "logs"

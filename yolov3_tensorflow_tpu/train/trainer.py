@@ -330,6 +330,14 @@ class YOLOv3Trainer:
         epochs = epochs if epochs is not None else cfg.epoch
         spe = steps_per_epoch or cfg.steps_per_epoch
         self._ensure_schedule(spe)
+        if cfg.stop_monitor not in ("loss", "val_loss"):
+            raise ValueError(f"stop_monitor={cfg.stop_monitor!r}: "
+                             "expected 'loss' or 'val_loss'")
+        if cfg.stop_monitor == "val_loss" and val_batches is None:
+            # fail fast: keras would warn per-epoch and never stop; a
+            # 500-patience run silently missing its monitor is a trap
+            raise ValueError("stop_monitor='val_loss' requires a "
+                             "validation set (--val_label_path)")
         if self.tb is not None:
             try:
                 self.tb.write_model_structure(*self._model_structure())
@@ -358,36 +366,7 @@ class YOLOv3Trainer:
                       float(mean["gamma_reg"]), mean, time.time() - t0)
             self.history.append(total)
 
-            val_loss = None
-            if val_batches is not None:
-                # keras re-evaluates the SAME validation set each epoch
-                # (Model.fit resets validation_data); a persistent
-                # repeat=True stream would drift by (batch*ceil - size)
-                # images per epoch whenever batch does not divide the
-                # set, making val_loss incomparable across epochs.  A
-                # zero-arg callable is therefore treated as a factory:
-                # one fresh iterator per epoch, every epoch scoring the
-                # identical window.  A plain iterator is still accepted
-                # (static batch shape, caller manages alignment).
-                vit = val_batches() if callable(val_batches) \
-                    else val_batches
-                try:
-                    vacc, vn = 0.0, 0
-                    for _ in range(cfg.validation_steps):
-                        try:
-                            vb = next(vit)
-                        except StopIteration:
-                            break
-                        vm = self.eval_step(self.state,
-                                            jnp.asarray(vb.images),
-                                            jnp.asarray(vb.labels))
-                        vacc += float(vm["total_loss"])
-                        vn += 1
-                finally:
-                    if vit is not val_batches and hasattr(vit, "close"):
-                        vit.close()
-                val_loss = vacc / max(vn, 1)
-                logging.info("  val_loss=%.5f", val_loss)
+            val_loss = self._run_validation(val_batches)
             if self.tb is not None:
                 self.tb.write_epoch(epoch, lr, total, mean,
                                     self.state.params, val_loss=val_loss)
@@ -398,9 +377,13 @@ class YOLOv3Trainer:
                 self.ckpt.save(int(self.state.step), self.state,
                                wait=False)
 
-            # early stopping (trainer.py:92-93)
-            if total < best - cfg.stop_min_delta:
-                best = total
+            # early stopping (trainer.py:92-93); monitor per
+            # cfg.stop_monitor — "loss" is the reference's choice,
+            # "val_loss" the keras default when validation is wired
+            monitored = (val_loss if cfg.stop_monitor == "val_loss"
+                         else total)
+            if monitored < best - cfg.stop_min_delta:
+                best = monitored
                 patience = 0
             else:
                 patience += 1
@@ -409,14 +392,52 @@ class YOLOv3Trainer:
                     break
         self._final_save()
 
+    def _run_validation(self, val_batches):
+        """One held-out validation pass; returns mean val_loss or None.
+
+        keras re-evaluates the SAME validation set each epoch (Model.fit
+        resets validation_data); a persistent repeat=True stream would
+        drift by (batch*ceil - size) images per epoch whenever batch
+        does not divide the set, making val_loss incomparable across
+        epochs.  A zero-arg callable is therefore treated as a factory:
+        one fresh iterator per epoch, every epoch scoring the identical
+        window.  A plain iterator is still accepted (static batch shape,
+        caller manages alignment)."""
+        if val_batches is None:
+            return None
+        vit = val_batches() if callable(val_batches) else val_batches
+        try:
+            vacc, vn = 0.0, 0
+            for _ in range(self.cfg.validation_steps):
+                try:
+                    vb = next(vit)
+                except StopIteration:
+                    break
+                vm = self.eval_step(self.state, jnp.asarray(vb.images),
+                                    jnp.asarray(vb.labels))
+                vacc += float(vm["total_loss"])
+                vn += 1
+        finally:
+            if vit is not val_batches and hasattr(vit, "close"):
+                vit.close()
+        val_loss = vacc / max(vn, 1)
+        logging.info("  val_loss=%.5f", val_loss)
+        return val_loss
+
     # ------------------------------------------------------------------ #
-    def train_multi_scale(self, batches_by_size, epochs=None,
-                          steps_per_epoch=None):
+    def train_multi_scale(self, batches_by_size, val_batches=None,
+                          epochs=None, steps_per_epoch=None):
         """Multi-scale training: cycle input sizes per epoch.
 
         batches_by_size: {(H, W): batch iterator}.  Each size uses its own
         cached jitted step; params/optimizer state are shared (the model is
         fully convolutional).
+
+        ``val_batches``: same semantics as ``train`` — the held-out set
+        is evaluated at ITS OWN fixed size (eval_step retraces per
+        shape), so val_loss stays epoch-comparable while the train size
+        cycles.  No early stopping here in either case: train losses at
+        different grid sizes are not comparable epoch-to-epoch.
         """
         cfg = self.cfg
         epochs = epochs if epochs is not None else cfg.epoch
@@ -445,6 +466,11 @@ class YOLOv3Trainer:
                       mean, time.time() - t0)
             logging.info("  (multi-scale size %sx%s)", hw[0], hw[1])
             self.history.append(total)
+            val_loss = self._run_validation(val_batches)
+            if self.tb is not None:
+                self.tb.write_epoch(epoch, float(np.asarray(metrics["lr"])),
+                                    total, mean, self.state.params,
+                                    val_loss=val_loss)
             if (epoch + 1) % cfg.ckpt_period == 0:
                 self.ckpt.save(int(self.state.step), self.state,
                                wait=False)
