@@ -298,3 +298,20 @@ def test_coco_to_labels_orphans_and_whitespace_names(tmp_path):
     assert names == ["cat"]
     assert len(lines) == 1 and lines[0].startswith("ok.jpg ")
     assert all("has space" not in ln for ln in lines)
+
+
+def test_cli_stop_monitor_and_val_flags():
+    """--stop_monitor plumbs through build_config (argparse rejects
+    unknown names via choices); default stays the reference's 'loss'."""
+    import argparse
+
+    import run as cli
+
+    import pytest
+
+    cfg = cli.build_config(argparse.Namespace(stop_monitor="val_loss"))
+    assert cfg.stop_monitor == "val_loss"
+    assert cli.build_config(argparse.Namespace()).stop_monitor == "loss"
+    # the argparse choices= layer constrains the vocabulary
+    with pytest.raises(SystemExit):
+        cli.main(["--stop_monitor", "bogus"])
