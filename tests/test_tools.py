@@ -315,3 +315,19 @@ def test_cli_stop_monitor_and_val_flags():
     # the argparse choices= layer constrains the vocabulary
     with pytest.raises(SystemExit):
         cli.main(["--stop_monitor", "bogus"])
+
+
+def test_cli_map_style_flag():
+    """--map_style plumbs through build_config; default stays 'voc'
+    (the Cartucho-convention parity metric)."""
+    import argparse
+
+    import run as cli
+
+    import pytest
+
+    assert cli.build_config(argparse.Namespace()).map_style == "voc"
+    cfg = cli.build_config(argparse.Namespace(map_style="coco"))
+    assert cfg.map_style == "coco"
+    with pytest.raises(SystemExit):
+        cli.main(["--map_style", "pascal"])

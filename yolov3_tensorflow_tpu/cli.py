@@ -32,7 +32,8 @@ def build_config(args) -> "Config":
     for field in ("mode", "model_backbone", "optimizer", "train_label_path",
                   "train_set_dir", "test_label_path", "test_set_dir",
                   "save_path", "image_root_path", "quant", "conv_backend",
-                  "stem_backend", "augment_backend", "stop_monitor"):
+                  "stem_backend", "augment_backend", "stop_monitor",
+                  "map_style"):
         v = getattr(args, field, None)
         if v is not None:
             overrides[field] = v
@@ -179,9 +180,16 @@ def test(cfg, trainer):
     ds = Dataset(cfg, cfg.test_label_path, cfg.test_set_dir, is_test=True,
                  shuffle=False)
     report = score_dataset(cfg, lambda b: trainer.predict(b.images), ds,
-                           save_path=cfg.save_path)
-    logging.info("mAP@0.5 = %.4f (per-class: %s)", report["mAP"],
-                 report["per_class"])
+                           save_path=cfg.save_path,
+                           map_style=cfg.map_style)
+    if cfg.map_style == "coco":
+        logging.info(
+            "mAP@[.5:.95] = %.4f (mAP@0.5 = %.4f, mAP@0.75 = %.4f; "
+            "per-class: %s)", report["mAP"], report.get("mAP@0.5", 0.0),
+            report.get("mAP@0.75", 0.0), report["per_class"])
+    else:
+        logging.info("mAP@0.5 = %.4f (per-class: %s)", report["mAP"],
+                     report["per_class"])
     return report
 
 
@@ -228,6 +236,9 @@ def main(argv=None):
                         "or 'val_loss' (needs --val_label_path)")
     p.add_argument("--test_label_path", default=None)
     p.add_argument("--test_set_dir", default=None)
+    p.add_argument("--map_style", default=None, choices=("voc", "coco"),
+                   help="test-mode metric: 'voc' = mAP@0.5 (Cartucho "
+                        "convention) or 'coco' = mAP@[.5:.95]")
     p.add_argument("--save_path", default=None)
     p.add_argument("--image_root_path", default=None)
     p.add_argument("--input_size", default=None, help="HxW, e.g. 384x480")

@@ -183,6 +183,11 @@ class Config:
     save_path: str = "dataset/test_result/"
     image_root_path: str | None = None
     max_detections: int = 128  # static NMS output size (device NMS)
+    # test-mode metric style: "voc" = mAP@0.5, all-point interpolation
+    # (the Cartucho/mAP convention the reference delegates to,
+    # run.py:78-79); "coco" = mAP@[.50:.05:.95], 101-point
+    # interpolation + COCO matching (infer/evaluator.evaluate_map_range)
+    map_style: str = "voc"
 
     # --- devices: TPU-native replacement for gpu_mode/gpu_num/visible_gpu
     # (configs.py:104-106).  num_devices<=0 means "all available".

@@ -1,10 +1,17 @@
-"""In-repo mAP@0.5 evaluation.
+"""In-repo mAP evaluation.
 
 The reference computes NO metric in-repo — mAP is explicitly delegated to
 the external Cartucho/mAP tool (run.py:78-79, README.md:137).  This module
-makes it first-class: PASCAL-VOC-style per-class average precision with
-all-point interpolation (the Cartucho default), greedy matching of
-score-ranked detections to ground truth at IOU >= iou_thresh.
+makes it first-class, in two styles:
+
+* :func:`evaluate_map` — PASCAL-VOC-style per-class average precision at
+  a single IOU threshold with all-point interpolation (the Cartucho
+  default), greedy matching of score-ranked detections to the
+  highest-IOU ground truth.  This is the parity metric.
+* :func:`evaluate_map_range` — COCO-style AP averaged over the IOU
+  threshold range .50:.05:.95 with 101-point interpolation and COCO
+  matching (each detection claims the highest-IOU *unmatched* GT above
+  the threshold).  Natural companion of tools/coco_to_labels.py.
 """
 from __future__ import annotations
 
@@ -38,6 +45,143 @@ def average_precision(recall: np.ndarray, precision: np.ndarray) -> float:
     return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
 
 
+def average_precision_101(recall: np.ndarray,
+                          precision: np.ndarray) -> float:
+    """COCO 101-point interpolated AP: the mean over the recall grid
+    {0.00, 0.01, ..., 1.00} of the maximum precision achieved at any
+    recall >= that grid point (pycocotools' accumulate convention)."""
+    if len(recall) == 0:
+        return 0.0
+    # monotone non-increasing precision envelope (right to left)
+    mpre = np.asarray(precision, float).copy()
+    for i in range(len(mpre) - 2, -1, -1):
+        mpre[i] = max(mpre[i], mpre[i + 1])
+    grid = np.linspace(0.0, 1.0, 101)
+    # first detection index whose recall >= grid point; past-the-end
+    # grid points contribute precision 0
+    idx = np.searchsorted(recall, grid, side="left")
+    vals = np.where(idx < len(mpre), mpre[np.minimum(idx, len(mpre) - 1)],
+                    0.0)
+    return float(vals.mean())
+
+
+def _gather(detections, ground_truths):
+    """Shared indexing pass: per-class score-sorted detection records and
+    per-image per-class GT boxes (parsed once — the per-class loops would
+    otherwise re-scan every GT array per class and per threshold)."""
+    per_class_dets = defaultdict(list)
+    gt_count = defaultdict(int)
+    for img_idx, dets in enumerate(detections):
+        for row in np.asarray(dets).reshape(-1, 6):
+            per_class_dets[int(row[5])].append((row[4], img_idx, row[0:4]))
+    for cls in per_class_dets:
+        per_class_dets[cls].sort(key=lambda d: -d[0])
+    per_img_cls_gts = []
+    for gts in ground_truths:
+        g = np.asarray(gts).reshape(-1, 5)
+        per_img_cls_gts.append(
+            {int(c): g[g[:, 4] == c, 0:4] for c in np.unique(g[:, 4])})
+        for c, boxes in per_img_cls_gts[-1].items():
+            gt_count[c] += len(boxes)
+    return per_class_dets, per_img_cls_gts, gt_count
+
+
+def _class_tp_fp(dets, per_img_cls_gts, cls, iou_thresh,
+                 coco_match: bool):
+    """Greedy TP/FP flags for one class's score-sorted detections.
+
+    ``coco_match=False``: VOC/Cartucho — a detection is matched against
+    its single highest-IOU GT; if that GT is already claimed the
+    detection is a false positive even when another GT above the
+    threshold remains free.  ``coco_match=True``: COCO — the detection
+    claims the highest-IOU *unmatched* GT above the threshold."""
+    matched = {}  # image_idx -> per-GT-box claimed flags, built lazily
+    tp = np.zeros(len(dets))
+    fp = np.zeros(len(dets))
+    for d_idx, (score, img_idx, box) in enumerate(dets):
+        gts_cls = per_img_cls_gts[img_idx].get(cls)
+        if gts_cls is None or len(gts_cls) == 0:
+            fp[d_idx] = 1
+            continue
+        if img_idx not in matched:
+            matched[img_idx] = np.zeros(len(gts_cls), bool)
+        ious = box_iou(box[None, :], gts_cls)[0]
+        if coco_match:
+            free = np.where((ious >= iou_thresh) & ~matched[img_idx])[0]
+            if len(free):
+                tp[d_idx] = 1
+                matched[img_idx][free[np.argmax(ious[free])]] = True
+            else:
+                fp[d_idx] = 1
+        else:
+            best = int(np.argmax(ious))
+            if ious[best] >= iou_thresh and not matched[img_idx][best]:
+                tp[d_idx] = 1
+                matched[img_idx][best] = True
+            else:
+                fp[d_idx] = 1
+    return tp, fp
+
+
+def evaluate_map_range(
+    detections: Sequence[np.ndarray],
+    ground_truths: Sequence[np.ndarray],
+    iou_thresholds: Sequence[float] = (),
+) -> Dict:
+    """COCO-style mAP over an IOU-threshold range (default .50:.05:.95).
+
+    Same input format as :func:`evaluate_map`.  Returns
+    ``{"mAP": mean over thresholds and classes, "mAP@0.5": ...,
+    "mAP@0.75": ..., "per_threshold": {t: mAP_t},
+    "per_class": {cls: AP averaged over thresholds},
+    "num_gt": ..., "false_positive_classes": ...}``.
+
+    Per COCO convention each AP uses 101-point interpolation and
+    unmatched-GT greedy matching; like Cartucho (and pycocotools' -1
+    sentinel), classes without ground truth are excluded from every
+    mean rather than scored 0.
+    """
+    thresholds = [round(float(t), 2) for t in (
+        iou_thresholds if len(iou_thresholds)
+        else np.arange(10) * 0.05 + 0.5)]
+    per_class_dets, per_img_cls_gts, gt_count = _gather(
+        detections, ground_truths)
+    classes = sorted(set(gt_count) | set(per_class_dets))
+    ap = {}  # (threshold, cls) -> AP
+    for cls in classes:
+        n_gt = gt_count.get(cls, 0)
+        dets = per_class_dets.get(cls, [])
+        for t in thresholds:
+            if n_gt == 0:
+                ap[(t, cls)] = float("nan")
+                continue
+            tp, fp = _class_tp_fp(dets, per_img_cls_gts, cls, t, True)
+            ctp, cfp = np.cumsum(tp), np.cumsum(fp)
+            ap[(t, cls)] = average_precision_101(
+                ctp / n_gt, ctp / np.maximum(ctp + cfp, 1e-12))
+
+    def _mean(vals):
+        real = [v for v in vals if not np.isnan(v)]
+        return float(np.mean(real)) if real else 0.0
+
+    per_threshold = {t: _mean([ap[(t, c)] for c in classes])
+                     for t in thresholds}
+    per_class = {c: _mean([ap[(t, c)] for t in thresholds])
+                 for c in classes if gt_count.get(c, 0) > 0}
+    per_class.update({c: float("nan") for c in classes
+                      if gt_count.get(c, 0) == 0})
+    fp_classes = {cls: len(per_class_dets[cls])
+                  for cls in per_class_dets if gt_count.get(cls, 0) == 0}
+    report = {"mAP": _mean(per_threshold.values()),
+              "per_threshold": per_threshold,
+              "per_class": per_class, "num_gt": dict(gt_count),
+              "false_positive_classes": fp_classes}
+    for t in (0.5, 0.75):
+        if t in per_threshold:
+            report[f"mAP@{t}"] = per_threshold[t]
+    return report
+
+
 def evaluate_map(
     detections: Sequence[np.ndarray],
     ground_truths: Sequence[np.ndarray],
@@ -56,48 +200,18 @@ def evaluate_map(
     have detections but zero GT are therefore EXCLUDED from the mean (their
     AP is NaN) and reported in ``false_positive_classes`` instead.
     """
-    # gather per-class detection records: (score, image_idx, box)
-    per_class_dets = defaultdict(list)
-    gt_count = defaultdict(int)
-    for img_idx, dets in enumerate(detections):
-        for row in np.asarray(dets).reshape(-1, 6):
-            per_class_dets[int(row[5])].append((row[4], img_idx, row[0:4]))
-    # split every image's GT by class ONCE — the per-class loop below
-    # would otherwise re-parse all N ground-truth arrays per class and
-    # per detection (O(C*N + D) full passes on large test sets)
-    per_img_cls_gts = []
-    for gts in ground_truths:
-        g = np.asarray(gts).reshape(-1, 5)
-        per_img_cls_gts.append(
-            {int(c): g[g[:, 4] == c, 0:4] for c in np.unique(g[:, 4])})
-        for c, boxes in per_img_cls_gts[-1].items():
-            gt_count[c] += len(boxes)
-
+    per_class_dets, per_img_cls_gts, gt_count = _gather(
+        detections, ground_truths)
     aps = {}
     for cls in sorted(set(gt_count) | set(per_class_dets)):
         n_gt = gt_count.get(cls, 0)
-        dets = sorted(per_class_dets.get(cls, []), key=lambda d: -d[0])
+        dets = per_class_dets.get(cls, [])
         if n_gt == 0:
             # zero-GT class: excluded from the mAP mean (Cartucho convention)
             aps[cls] = float("nan")
             continue
-        matched = {}  # image_idx -> per-GT-box claimed flags, built lazily
-        tp = np.zeros(len(dets))
-        fp = np.zeros(len(dets))
-        for d_idx, (score, img_idx, box) in enumerate(dets):
-            gts_cls = per_img_cls_gts[img_idx].get(cls)
-            if gts_cls is None or len(gts_cls) == 0:
-                fp[d_idx] = 1
-                continue
-            if img_idx not in matched:
-                matched[img_idx] = np.zeros(len(gts_cls), bool)
-            ious = box_iou(box[None, :], gts_cls)[0]
-            best = int(np.argmax(ious))
-            if ious[best] >= iou_thresh and not matched[img_idx][best]:
-                tp[d_idx] = 1
-                matched[img_idx][best] = True
-            else:
-                fp[d_idx] = 1
+        tp, fp = _class_tp_fp(dets, per_img_cls_gts, cls, iou_thresh,
+                              coco_match=False)
         ctp, cfp = np.cumsum(tp), np.cumsum(fp)
         recall = ctp / n_gt
         precision = ctp / np.maximum(ctp + cfp, 1e-12)
@@ -135,13 +249,16 @@ def labels_to_eval_format(labels: np.ndarray, image_wh) -> np.ndarray:
                      lab[:, 4]], axis=1)
 
 
-def score_dataset(cfg, forward, ds, save_path: str = ""):
+def score_dataset(cfg, forward, ds, save_path: str = "",
+                  map_style: str = "voc"):
     """The ``run.py --mode test`` scoring loop, shared with the parity
     harness (tools/map_parity.py): iterate a test Dataset, run a
     pluggable ``forward(batch) -> heads``, decode + NMS + accumulate,
     and return :func:`evaluate_map`'s report (reference run.py:41-80's
-    evaluation flow).  ``save_path`` non-empty additionally writes the
-    visualized detections per image.
+    evaluation flow; ``map_style="coco"`` returns
+    :func:`evaluate_map_range`'s .50:.05:.95 report instead).
+    ``save_path`` non-empty additionally writes the visualized
+    detections per image.
 
     The loader wraps partial batches for static shapes; wrapped
     duplicate paths are scored once.  With ``cfg.class_num == 0``
@@ -178,4 +295,9 @@ def score_dataset(cfg, forward, ds, save_path: str = ""):
             if cfg.class_num == 0 and len(gts):
                 gts[:, 4] = 0.0  # single-class mode: all objects class 0
             all_gts.append(gts)
+    if map_style == "coco":
+        return evaluate_map_range(all_dets, all_gts)
+    if map_style != "voc":
+        raise ValueError(f"map_style={map_style!r}: expected 'voc' "
+                         "or 'coco'")
     return evaluate_map(all_dets, all_gts)
