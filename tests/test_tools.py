@@ -331,3 +331,13 @@ def test_cli_map_style_flag():
     assert cfg.map_style == "coco"
     with pytest.raises(SystemExit):
         cli.main(["--map_style", "pascal"])
+
+
+def test_cli_grad_accum_flag():
+    import argparse
+
+    import run as cli
+
+    assert cli.build_config(argparse.Namespace()).grad_accum_steps == 1
+    cfg = cli.build_config(argparse.Namespace(grad_accum_steps=4))
+    assert cfg.grad_accum_steps == 4

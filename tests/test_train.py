@@ -366,3 +366,78 @@ def test_stop_monitor_val_loss():
     tr.train(batches(), val_batches=val_factory, epochs=6,
              steps_per_epoch=1)
     assert int(tr.state.step) == 2, "early stop on val_loss at patience=1"
+
+
+def test_grad_accum_updates_params_every_k_steps():
+    """grad_accum_steps=2 (optax.MultiSteps): micro steps only accumulate
+    — params move on every SECOND train_step — and the update equals a
+    k=1 step when both micro-batches carry the same gradient.  The
+    MultiSteps state must survive a checkpoint round-trip."""
+    images, labels = _batch(8)
+    ck2 = tempfile.mkdtemp()
+    tr2 = YOLOv3Trainer(_cfg(grad_accum_steps=2), restore=False,
+                        checkpoint_dir=ck2)
+    tr1 = YOLOv3Trainer(_cfg(), restore=False,
+                        checkpoint_dir=tempfile.mkdtemp())
+    # same seed -> identical init params
+    p0 = jax.tree.map(np.asarray, tr1.state.params)
+
+    tr2.state, m = tr2.train_step(tr2.state, images, labels)
+    mid = jax.tree.map(np.asarray, tr2.state.params)
+    same = jax.tree.map(np.array_equal, p0, mid)
+    assert all(jax.tree.leaves(same)), "first micro step must not update"
+
+    tr2.state, _ = tr2.train_step(tr2.state, images, labels)
+    tr1.state, _ = tr1.train_step(tr1.state, images, labels)
+    pk = jax.tree.map(np.asarray, tr2.state.params)
+    p1 = jax.tree.map(np.asarray, tr1.state.params)
+    # both micro grads are identical (same data; BN stats drift does
+    # perturb the second micro gradient slightly, hence the tolerance)
+    close = jax.tree.map(
+        lambda a, b: np.allclose(a, b, rtol=1e-3, atol=1e-5), pk, p1)
+    assert all(jax.tree.leaves(close)), "macro update != k=1 update"
+
+    # full-state resume: identical next step
+    tr2.ckpt.save(int(tr2.state.step), tr2.state, force=True)
+    tr2b = YOLOv3Trainer(_cfg(grad_accum_steps=2), restore=True,
+                         checkpoint_dir=ck2)
+    _, ma = tr2.train_step(tr2.state, images, labels)
+    _, mb = tr2b.train_step(tr2b.state, images, labels)
+    np.testing.assert_allclose(float(ma["total_loss"]),
+                               float(mb["total_loss"]), rtol=1e-6)
+
+
+def test_preemption_sigterm_checkpoints_and_resumes_aligned():
+    """SIGTERM during train(): the loop finishes the in-flight step,
+    checkpoints the FULL train state mid-epoch, and returns; a rerun
+    resumes and the interrupted epoch runs only its REMAINING steps so
+    step/epoch (and LR boundary) alignment is exact.  The previous
+    SIGTERM handler is restored afterwards."""
+    import os
+    import signal as _signal
+
+    from yolov3_tensorflow_tpu.data.loader import Batch
+    cfg = _cfg()
+    ckdir = tempfile.mkdtemp()
+    tr = YOLOv3Trainer(cfg, restore=False, checkpoint_dir=ckdir)
+    images, labels = _batch(8)
+    prev_handler = _signal.getsignal(_signal.SIGTERM)
+
+    def batches(kill_at):
+        n = 0
+        while True:
+            n += 1
+            if n == kill_at:
+                os.kill(os.getpid(), _signal.SIGTERM)
+            yield Batch(np.asarray(images), np.asarray(labels))
+
+    tr.train(batches(kill_at=3), epochs=2, steps_per_epoch=5)
+    assert int(tr.state.step) == 3, "finish the in-flight step, then stop"
+    assert tr.ckpt.latest_step() == 3, "mid-epoch preemption checkpoint"
+    assert _signal.getsignal(_signal.SIGTERM) is prev_handler
+
+    tr2 = YOLOv3Trainer(cfg, restore=True, checkpoint_dir=ckdir)
+    assert int(tr2.state.step) == 3
+    tr2.train(batches(kill_at=10**9), epochs=1, steps_per_epoch=5)
+    assert int(tr2.state.step) == 5, \
+        "resumed epoch must run only its remaining 2 steps"

@@ -39,7 +39,7 @@ def build_config(args) -> "Config":
             overrides[field] = v
     for field in ("batch_size", "epoch", "class_num", "max_boxes",
                   "rectified_coord_num", "num_devices", "train_set_size",
-                  "val_set_size", "spatial_partition"):
+                  "val_set_size", "spatial_partition", "grad_accum_steps"):
         v = getattr(args, field, None)
         if v is not None:
             overrides[field] = v
@@ -245,6 +245,10 @@ def main(argv=None):
     p.add_argument("--multi_scale", default=None,
                    help="comma-separated HxW list, e.g. 320x416,384x480")
     p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--grad_accum_steps", type=int, default=None,
+                   help="average gradients over this many micro-batches "
+                        "per optimizer update (effective batch = "
+                        "batch_size * this)")
     p.add_argument("--epoch", type=int, default=None)
     p.add_argument("--class_num", type=int, default=None)
     p.add_argument("--max_boxes", type=int, default=None)

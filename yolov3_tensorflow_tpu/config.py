@@ -102,6 +102,15 @@ class Config:
     # optional global-norm gradient clipping (off by default: the reference
     # has none; useful against the schedule's warm-restart LR spikes)
     grad_clip_norm: float | None = None
+    # gradient accumulation: average gradients over this many micro-batches
+    # before each optimizer update (optax.MultiSteps), emulating an
+    # effective batch of grad_accum_steps*batch_size when the target batch
+    # does not fit HBM.  steps_per_epoch keeps counting MICRO steps; the
+    # LR schedule fires on optimizer (macro) steps, so steps_per_epoch
+    # should be a multiple of grad_accum_steps for exact epoch alignment.
+    # BatchNorm statistics still update per micro-batch (standard
+    # accumulation semantics — not bit-identical to a single big batch).
+    grad_accum_steps: int = 1
     mode: str = "train"  # train, test, predict, save_pb, save_serving
     model_backbone: str = BACKBONE_RESNET_18
     optimizer: str = "radam"  # sgdm, adam, radam

@@ -92,10 +92,21 @@ def scale_by_radam(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
 def make_optimizer(cfg: Config,
                    steps_per_epoch: Optional[int] = None):
     """Build (tx, schedule_fn) for the configured optimizer
-    (trainer.py:70-75)."""
+    (trainer.py:70-75).
+
+    With ``cfg.grad_accum_steps > 1`` the transformation is wrapped in
+    ``optax.MultiSteps``: gradients are averaged over k micro-batches
+    and the inner optimizer (whose step count the LR schedule reads)
+    advances once per k.  The returned schedule_fn still maps MICRO
+    steps (the trainer's ``state.step``) to the lr in effect, so
+    callers need not know k.
+    """
+    spe = steps_per_epoch or cfg.steps_per_epoch
+    k = max(1, int(cfg.grad_accum_steps))
+    # the schedule is evaluated on the inner optimizer's count, which
+    # advances once per macro step — an epoch is spe//k macro steps
     schedule = piecewise_epoch_schedule(
-        cfg.step_epoch, cfg.step_lr,
-        steps_per_epoch or cfg.steps_per_epoch)
+        cfg.step_epoch, cfg.step_lr, max(1, spe // k))
     name = cfg.optimizer
     parts = []
     if cfg.grad_clip_norm:
@@ -115,4 +126,7 @@ def make_optimizer(cfg: Config,
     else:
         raise ValueError(f"unknown optimizer {name!r}")
     tx = optax.chain(*parts)
+    if k > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=k)
+        return tx, (lambda step: schedule(step // k))
     return tx, schedule

@@ -21,7 +21,9 @@ Feature parity with the reference trainer:
 from __future__ import annotations
 
 import logging
+import signal
 import time
+from contextlib import contextmanager
 from typing import Iterator, Optional
 
 import jax
@@ -126,6 +128,7 @@ class YOLOv3Trainer:
         self.history = []
         self._quant = None       # lazily-built PTQ programs (_quant_setup)
         self._quant_vars = None  # calibrated "quant" collection
+        self._stop_requested = False
 
     # ------------------------------------------------------------------ #
     def steps_for_size(self, input_hw):
@@ -322,6 +325,49 @@ class YOLOv3Trainer:
         return hlo, "\n".join(lines)
 
     # ------------------------------------------------------------------ #
+    def request_stop(self):
+        """Ask a running train loop to checkpoint the full train state
+        and return after the current step.  Installed as the SIGTERM
+        handler while training (graceful preemption — TPU VMs are
+        routinely preempted; the reference has no recovery beyond
+        restart-and-resume, SURVEY §5); also callable directly by
+        embedders."""
+        self._stop_requested = True
+
+    @contextmanager
+    def _graceful_preemption(self):
+        self._stop_requested = False
+        handler = lambda signum, frame: self.request_stop()  # noqa: E731
+        try:
+            prev = signal.signal(signal.SIGTERM, handler)
+        except ValueError:
+            prev = None  # not the main thread: rely on request_stop()
+        try:
+            yield
+        finally:
+            if prev is not None:
+                signal.signal(signal.SIGTERM, prev)
+
+    def _stop_and_save(self):
+        logging.warning(
+            "stop requested (preemption?): checkpointed full train "
+            "state at step %d; rerun to resume", int(self.state.step))
+        self._final_save()
+
+    def _epoch_steps(self, epoch: int, start_epoch: int, spe: int) -> int:
+        """Steps remaining in this epoch.  A preemption checkpoint can
+        land mid-epoch; on resume the interrupted epoch runs only its
+        REMAINING steps so step-count/epoch alignment (and with it the
+        LR-schedule boundaries, schedule.py) is preserved exactly."""
+        if epoch != start_epoch:
+            return spe
+        done = int(self.state.step) % spe
+        if done:
+            logging.info("resuming mid-epoch: %d of %d steps remain",
+                         spe - done, spe)
+        return spe - done
+
+    # ------------------------------------------------------------------ #
     def train(self, train_batches: Iterator, val_batches=None,
               epochs: Optional[int] = None,
               steps_per_epoch: Optional[int] = None):
@@ -347,11 +393,14 @@ class YOLOv3Trainer:
         best = float("inf")
         patience = 0
         start_epoch = int(self.state.step) // spe
-        for epoch in range(start_epoch, epochs):
+        with self._graceful_preemption():
+          for epoch in range(start_epoch, epochs):
             t0 = time.time()
             acc = None
             n = 0
-            for _ in range(spe):
+            for _ in range(self._epoch_steps(epoch, start_epoch, spe)):
+                if self._stop_requested:
+                    break
                 batch = next(train_batches)
                 self.state, metrics = self.train_step(
                     self.state, jnp.asarray(batch.images),
@@ -359,6 +408,8 @@ class YOLOv3Trainer:
                 acc = metrics if acc is None else jax.tree.map(
                     lambda a, b: a + b, acc, metrics)
                 n += 1
+            if self._stop_requested:
+                return self._stop_and_save()
             mean = jax.tree.map(lambda a: np.asarray(a) / n, acc)
             total = float(mean["total_loss"])
             lr = float(np.asarray(metrics["lr"]))
@@ -445,13 +496,16 @@ class YOLOv3Trainer:
         self._ensure_schedule(spe)
         sizes = list(batches_by_size.keys())
         start_epoch = int(self.state.step) // spe
-        for epoch in range(start_epoch, epochs):
+        with self._graceful_preemption():
+          for epoch in range(start_epoch, epochs):
             hw = sizes[epoch % len(sizes)]
             step_fn = self.steps_for_size(hw)[0]
             it = batches_by_size[hw]
             t0 = time.time()
             acc, n = None, 0
-            for _ in range(spe):
+            for _ in range(self._epoch_steps(epoch, start_epoch, spe)):
+                if self._stop_requested:
+                    break
                 batch = next(it)
                 self.state, metrics = step_fn(
                     self.state, jnp.asarray(batch.images),
@@ -459,6 +513,8 @@ class YOLOv3Trainer:
                 acc = metrics if acc is None else jax.tree.map(
                     lambda a, b: a + b, acc, metrics)
                 n += 1
+            if self._stop_requested:
+                return self._stop_and_save()
             mean = jax.tree.map(lambda a: np.asarray(a) / n, acc)
             total = float(mean["total_loss"])
             log_epoch(epoch, float(np.asarray(metrics["lr"])), total,
