@@ -441,3 +441,23 @@ def test_preemption_sigterm_checkpoints_and_resumes_aligned():
     tr2.train(batches(kill_at=10**9), epochs=1, steps_per_epoch=5)
     assert int(tr2.state.step) == 5, \
         "resumed epoch must run only its remaining 2 steps"
+
+
+def test_exhausted_validation_iterator_fails_fast():
+    """A plain (non-factory) validation iterator that exhausts mid-run
+    must raise, not score val_loss=0.0 (which would silently become the
+    stop_monitor's best)."""
+    from yolov3_tensorflow_tpu.data.loader import Batch
+    images, labels = _batch(8)
+
+    def batches():
+        while True:
+            yield Batch(np.asarray(images), np.asarray(labels))
+
+    cfg = _cfg(val_set_size=8)  # 1 validation step/epoch
+    tr = YOLOv3Trainer(cfg, restore=False,
+                       checkpoint_dir=tempfile.mkdtemp())
+    one_epoch_only = iter([Batch(np.asarray(images), np.asarray(labels))])
+    with pytest.raises(ValueError, match="yielded no batches"):
+        tr.train(batches(), val_batches=one_epoch_only, epochs=2,
+                 steps_per_epoch=1)

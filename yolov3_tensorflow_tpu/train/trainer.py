@@ -471,7 +471,15 @@ class YOLOv3Trainer:
         finally:
             if vit is not val_batches and hasattr(vit, "close"):
                 vit.close()
-        val_loss = vacc / max(vn, 1)
+        if vn == 0:
+            # a plain (non-factory) iterator exhausts after its first
+            # epoch; scoring it as val_loss=0.0 would silently become
+            # the stop_monitor's "best" and break early stopping
+            raise ValueError(
+                "validation stream yielded no batches this epoch — pass "
+                "val_batches as a zero-arg factory (fresh stream per "
+                "epoch) or a repeating iterator")
+        val_loss = vacc / vn
         logging.info("  val_loss=%.5f", val_loss)
         return val_loss
 
