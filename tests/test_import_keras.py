@@ -98,3 +98,34 @@ def test_cli_import_writes_restorable_checkpoint(tmp_path):
         0, 255, (2, INPUT_HW[0], INPUT_HW[1], 3), np.uint8)
     heads = trainer.predict(imgs)
     assert all(np.isfinite(np.asarray(h)).all() for h in heads)
+
+def test_cli_export_roundtrips_through_import(tmp_path):
+    """tools/export_keras: checkpoint -> reference-architecture Keras
+    weights.  Round-trip through the import tool must be bit-exact."""
+    from yolov3_tensorflow_tpu.tools import export_keras, import_keras
+    from yolov3_tensorflow_tpu.train.trainer import YOLOv3Trainer
+
+    cfg, params, stats = _flax_random("resnet-18", class_num=7)
+    ckdir = os.path.join(tmp_path, "trained")
+    trainer = YOLOv3Trainer(cfg, restore=False, checkpoint_dir=ckdir)
+    state = trainer.state.replace(
+        params=jax.tree.map(jnp.asarray, params),
+        batch_stats=jax.tree.map(jnp.asarray, stats),
+        step=jnp.ones_like(trainer.state.step))
+    trainer.ckpt.save(1, state, force=True)
+
+    h5 = os.path.join(tmp_path, "exported.weights.h5")
+    rc = export_keras.main([
+        "--checkpoint", ckdir, "--backbone", "resnet-18",
+        "--class_num", "7",
+        "--input_size", f"{INPUT_HW[0]}x{INPUT_HW[1]}", "--out", h5])
+    assert rc == 0 and os.path.exists(h5)
+
+    back = os.path.join(tmp_path, "reimported")
+    rc = import_keras.main([
+        "--h5", h5, "--backbone", "resnet-18", "--class_num", "7",
+        "--input_size", f"{INPUT_HW[0]}x{INPUT_HW[1]}", "--out", back])
+    assert rc == 0
+    tr2 = YOLOv3Trainer(cfg, restore=True, checkpoint_dir=back)
+    _trees_equal(jax.tree.map(np.asarray, tr2.state.params), params)
+    _trees_equal(jax.tree.map(np.asarray, tr2.state.batch_stats), stats)
