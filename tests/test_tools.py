@@ -341,3 +341,52 @@ def test_cli_grad_accum_flag():
     assert cli.build_config(argparse.Namespace()).grad_accum_steps == 1
     cfg = cli.build_config(argparse.Namespace(grad_accum_steps=4))
     assert cfg.grad_accum_steps == 4
+
+
+def test_lr_range_analyze():
+    """analyze(): minimum of the smoothed curve, decade-below
+    suggestion, and divergence point."""
+    import numpy as np
+
+    from yolov3_tensorflow_tpu.tools.lr_range_test import analyze, smooth
+
+    lrs = np.logspace(-6, -1, 50)
+    # V-shaped loss with a blow-up tail: min at index 30
+    losses = np.concatenate([np.linspace(10, 2, 30),
+                             np.linspace(2, 40, 20)])
+    r = analyze(lrs, losses, window=1, divergence_ratio=4.0)
+    assert r["lr_at_min"] == lrs[29] or r["lr_at_min"] == lrs[30]
+    np.testing.assert_allclose(r["suggested"], r["lr_at_min"] / 10)
+    assert r["diverged_at"] is not None and r["diverged_at"] > r["lr_at_min"]
+    # smoothing: trailing mean over full+partial windows
+    np.testing.assert_allclose(smooth(np.asarray([1.0, 3.0, 5.0]), 2),
+                               [1.0, 2.0, 4.0])
+
+
+def test_lr_range_test_cli(tmp_path):
+    """End-to-end sweep on a synthetic set: CSV written, lr column is a
+    geometric ramp, recommendation inside the sweep range."""
+    import numpy as np
+
+    from yolov3_tensorflow_tpu.tools.lr_range_test import main
+    from yolov3_tensorflow_tpu.tools.make_synthetic_dataset import generate
+
+    out_set = str(tmp_path / "set")
+    generate(out_set, 6, (128, 96), seed=5)
+    csv = str(tmp_path / "range.csv")
+    rc = main(["--label_path", f"{out_set}/label.txt",
+               "--image_dir", f"{out_set}/images",
+               "--class_num", "3", "--batch_size", "2",
+               "--num_devices", "1",
+               "--input_size", "96x128", "--steps", "6",
+               "--min_lr", "1e-7", "--max_lr", "1e-3",
+               "--no_augment", "--out", csv])
+    assert rc == 0
+    rows = open(csv).read().strip().splitlines()
+    assert rows[0] == "step,lr,loss,smoothed"
+    data = np.array([[float(v) for v in r.split(",")] for r in rows[1:]])
+    assert len(data) >= 2
+    lrs = data[:, 1]
+    assert (np.diff(lrs) > 0).all(), "lr must ramp up monotonically"
+    np.testing.assert_allclose(lrs[0], 1e-7, rtol=1e-3)
+    assert np.isfinite(data[:, 2]).all()

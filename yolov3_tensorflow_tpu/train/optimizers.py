@@ -90,7 +90,8 @@ def scale_by_radam(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
 
 
 def make_optimizer(cfg: Config,
-                   steps_per_epoch: Optional[int] = None):
+                   steps_per_epoch: Optional[int] = None,
+                   schedule=None):
     """Build (tx, schedule_fn) for the configured optimizer
     (trainer.py:70-75).
 
@@ -100,13 +101,18 @@ def make_optimizer(cfg: Config,
     advances once per k.  The returned schedule_fn still maps MICRO
     steps (the trainer's ``state.step``) to the lr in effect, so
     callers need not know k.
+
+    ``schedule``: optional step->lr override replacing the config's
+    epoch-piecewise schedule (tools/lr_range_test.py sweeps an
+    exponential ramp this way); evaluated on MACRO (optimizer) steps.
     """
     spe = steps_per_epoch or cfg.steps_per_epoch
     k = max(1, int(cfg.grad_accum_steps))
-    # the schedule is evaluated on the inner optimizer's count, which
-    # advances once per macro step — an epoch is spe//k macro steps
-    schedule = piecewise_epoch_schedule(
-        cfg.step_epoch, cfg.step_lr, max(1, spe // k))
+    if schedule is None:
+        # the schedule is evaluated on the inner optimizer's count, which
+        # advances once per macro step — an epoch is spe//k macro steps
+        schedule = piecewise_epoch_schedule(
+            cfg.step_epoch, cfg.step_lr, max(1, spe // k))
     name = cfg.optimizer
     parts = []
     if cfg.grad_clip_norm:
