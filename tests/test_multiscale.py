@@ -86,3 +86,37 @@ def test_multi_scale_validation_at_fixed_size():
     assert [s.served for s in made] == [2, 2]
     assert all(getattr(s, "closed", False) for s in made)
     assert int(tr.state.step) == 2
+
+
+def test_multi_scale_preemption_stop_and_aligned_resume():
+    """request_stop() during train_multi_scale: checkpoint mid-epoch,
+    return; resume runs only the interrupted epoch's remaining steps,
+    at the SAME size slot (epoch index unchanged)."""
+    cfg = Config(input_image_size=(64, 64, 3), batch_size=8, max_boxes=4,
+                 rectified_coord_num=-1, is_augment=False,
+                 compute_dtype="float32", ckpt_period=1000,
+                 multi_scale_sizes=((64, 64), (96, 96)))
+    ckdir = tempfile.mkdtemp()
+    tr = YOLOv3Trainer(cfg, restore=False, checkpoint_dir=ckdir)
+
+    def stopping_iter(hw, stop_at):
+        src = _iter(hw, 8, 0)
+        n = 0
+        while True:
+            n += 1
+            if n == stop_at:
+                tr.request_stop()
+            yield next(src)
+
+    batches = {hw: stopping_iter(hw, 2 if hw == (64, 64) else 10**9)
+               for hw in cfg.multi_scale_sizes}
+    tr.train_multi_scale(batches, epochs=4, steps_per_epoch=3)
+    assert int(tr.state.step) == 2, "stop after the in-flight step"
+    assert tr.ckpt.latest_step() == 2
+
+    tr2 = YOLOv3Trainer(cfg, restore=True, checkpoint_dir=ckdir)
+    assert int(tr2.state.step) == 2
+    batches2 = {hw: _iter(hw, 8, i)
+                for i, hw in enumerate(cfg.multi_scale_sizes)}
+    tr2.train_multi_scale(batches2, epochs=1, steps_per_epoch=3)
+    assert int(tr2.state.step) == 3, "only the remaining 1 step runs"
