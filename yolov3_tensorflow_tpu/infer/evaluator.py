@@ -269,6 +269,12 @@ def score_dataset(cfg, forward, ds, save_path: str = "",
 
     from .postprocess import YOLOv3PostProcessor, resize_boxes, visualize
 
+    if map_style not in ("voc", "coco"):
+        # before the scoring loop: a typo'd style must not cost a full
+        # dataset pass (library callers bypass the CLI's choices= gate)
+        raise ValueError(f"map_style={map_style!r}: expected 'voc' "
+                         "or 'coco'")
+
     post = YOLOv3PostProcessor(cfg)
     input_box_size = np.array([cfg.input_image_size[1],
                                cfg.input_image_size[0]] * 2, np.float64)
@@ -297,7 +303,4 @@ def score_dataset(cfg, forward, ds, save_path: str = "",
             all_gts.append(gts)
     if map_style == "coco":
         return evaluate_map_range(all_dets, all_gts)
-    if map_style != "voc":
-        raise ValueError(f"map_style={map_style!r}: expected 'voc' "
-                         "or 'coco'")
     return evaluate_map(all_dets, all_gts)
