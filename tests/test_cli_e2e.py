@@ -21,7 +21,7 @@ def sample_set(tmp_path_factory):
     return out
 
 
-def test_cli_train_test_predict(sample_set, tmp_path, monkeypatch):
+def test_cli_train_test_predict(sample_set, tmp_path, monkeypatch, caplog):
     monkeypatch.chdir(tmp_path)
     ckpt = str(tmp_path / "ckpt")
     common = ["--input_size", "96x128", "--batch_size", "4",
@@ -29,14 +29,21 @@ def test_cli_train_test_predict(sample_set, tmp_path, monkeypatch):
               "--train_set_size", "8", "--checkpoint_dir", ckpt,
               "--num_devices", "1", "--no_augment"]
 
-    cli.main(["--mode", "train", "--epoch", "2",
-              "--train_label_path", os.path.join(sample_set, "label.txt"),
-              "--train_set_dir", os.path.join(sample_set, "images"),
-              # held-out val_loss per epoch (keras validation_data
-              # analog; the reference CLI never wires its val_set)
-              "--val_label_path", os.path.join(sample_set, "label.txt"),
-              *common])
+    import logging as _logging
+    with caplog.at_level(_logging.INFO):
+        cli.main(["--mode", "train", "--epoch", "2",
+                  "--train_label_path",
+                  os.path.join(sample_set, "label.txt"),
+                  "--train_set_dir", os.path.join(sample_set, "images"),
+                  # held-out val_loss per epoch (keras validation_data
+                  # analog; the reference CLI never wires its val_set)
+                  "--val_label_path", os.path.join(sample_set, "label.txt"),
+                  # periodic held-out mAP: fires once, at epoch 2 of 2
+                  "--val_map_every", "2",
+                  *common])
     assert os.path.isdir(ckpt) and os.listdir(ckpt), "no checkpoint saved"
+    map_logs = [r for r in caplog.records if "val mAP@0.5" in r.getMessage()]
+    assert len(map_logs) == 1, "val_map_every=2 over 2 epochs -> one eval"
 
     out_dir = str(tmp_path / "out_test")
     cli.main(["--mode", "test", "--confidence_thresh", "0.1",

@@ -461,3 +461,22 @@ def test_exhausted_validation_iterator_fails_fast():
     with pytest.raises(ValueError, match="yielded no batches"):
         tr.train(batches(), val_batches=one_epoch_only, epochs=2,
                  steps_per_epoch=1)
+
+
+def test_epoch_callback_invoked_per_epoch():
+    """trainer.train(epoch_callback=...) fires after each epoch's
+    validation/TB write with the epoch index (the keras custom-callback
+    analog the CLI's --val_map_every builds on)."""
+    from yolov3_tensorflow_tpu.data.loader import Batch
+    images, labels = _batch(8)
+
+    def batches():
+        while True:
+            yield Batch(np.asarray(images), np.asarray(labels))
+
+    tr = YOLOv3Trainer(_cfg(), restore=False,
+                       checkpoint_dir=tempfile.mkdtemp())
+    seen = []
+    tr.train(batches(), epochs=3, steps_per_epoch=1,
+             epoch_callback=seen.append)
+    assert seen == [0, 1, 2]

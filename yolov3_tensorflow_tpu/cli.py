@@ -87,7 +87,7 @@ def build_config(args) -> "Config":
 
 
 def train(cfg, trainer, derive_steps: bool = True,
-          val_label_path=None, val_set_dir=None):
+          val_label_path=None, val_set_dir=None, val_map_every: int = 0):
     """(run.py:31-38)
 
     ``derive_steps``: without an explicit --train_set_size the epoch
@@ -152,6 +152,27 @@ def train(cfg, trainer, derive_steps: bool = True,
                      val_label_path, val_ds.global_size,
                      trainer.cfg.validation_steps)
 
+    epoch_cb = None
+    if val_label_path and val_map_every:
+        # periodic held-out mAP (beyond the reference — detector users
+        # track val mAP, not just val_loss); full decode+NMS+evaluator
+        # pass over the val set every N epochs, logged + TB scalar
+        from yolov3_tensorflow_tpu.infer.evaluator import score_dataset
+        val_eval_ds = Dataset(cfg, val_label_path,
+                              val_set_dir or cfg.train_set_dir,
+                              is_test=True, shuffle=False)
+        style = "@[.5:.95]" if cfg.map_style == "coco" else "@0.5"
+
+        def epoch_cb(epoch):
+            if (epoch + 1) % val_map_every:
+                return
+            report = score_dataset(
+                cfg, lambda b: trainer.predict(b.images), val_eval_ds,
+                map_style=cfg.map_style)
+            logging.info("  val mAP%s = %.4f", style, report["mAP"])
+            if trainer.tb is not None:
+                trainer.tb.scalar("val_mAP", report["mAP"], epoch)
+
     if cfg.multi_scale_sizes:
         datasets = {
             tuple(hw): Dataset(cfg, cfg.train_label_path, cfg.train_set_dir,
@@ -163,12 +184,14 @@ def train(cfg, trainer, derive_steps: bool = True,
         # epoch-comparable across the size rotation
         trainer.train_multi_scale(
             batches, val_batches=val_batches,
-            steps_per_epoch=spe_for(next(iter(datasets.values()))))
+            steps_per_epoch=spe_for(next(iter(datasets.values()))),
+            epoch_callback=epoch_cb)
     else:
         ds = Dataset(cfg, cfg.train_label_path, cfg.train_set_dir,
                      shard=shard)
         trainer.train(feed(ds), val_batches=val_batches,
-                      steps_per_epoch=spe_for(ds))
+                      steps_per_epoch=spe_for(ds),
+                      epoch_callback=epoch_cb)
     logging.info("training done")
 
 
@@ -230,6 +253,9 @@ def main(argv=None):
                         "(keras validation_data analog)")
     p.add_argument("--val_set_dir", default=None,
                    help="val image root (default: --train_set_dir)")
+    p.add_argument("--val_map_every", type=int, default=0,
+                   help="evaluate held-out mAP every N epochs (0 = off; "
+                        "needs --val_label_path; style per --map_style)")
     p.add_argument("--stop_monitor", default=None,
                    choices=("loss", "val_loss"),
                    help="early-stop metric: 'loss' (reference default) "
@@ -364,7 +390,8 @@ def main(argv=None):
         train(cfg, trainer,
               derive_steps=getattr(args, "train_set_size", None) is None,
               val_label_path=getattr(args, "val_label_path", None),
-              val_set_dir=getattr(args, "val_set_dir", None))
+              val_set_dir=getattr(args, "val_set_dir", None),
+              val_map_every=getattr(args, "val_map_every", 0) or 0)
     elif cfg.mode == "test":
         test(cfg, trainer)
     elif cfg.mode == "predict":

@@ -83,6 +83,11 @@ class TensorBoardWriter:
             if gammas.size:
                 self._main.histogram("bn_gamma", gammas, epoch)
 
+    def scalar(self, tag: str, value: float, step: int):
+        """One-off scalar on the main writer (e.g. periodic validation
+        mAP from the CLI's --val_map_every epoch callback)."""
+        self._main.scalar(tag, float(value), step)
+
     def write_model_structure(self, hlo_text: str, param_summary: str):
         """Model-structure artifact at train start (the analog of
         MyTensorBoard's Keras graph dump, board_callback.py:42-43): the

@@ -370,8 +370,14 @@ class YOLOv3Trainer:
     # ------------------------------------------------------------------ #
     def train(self, train_batches: Iterator, val_batches=None,
               epochs: Optional[int] = None,
-              steps_per_epoch: Optional[int] = None):
-        """Epoch loop (reference trainer.py:99-115 / keras Model.fit)."""
+              steps_per_epoch: Optional[int] = None,
+              epoch_callback=None):
+        """Epoch loop (reference trainer.py:99-115 / keras Model.fit).
+
+        ``epoch_callback(epoch)``: optional hook invoked after each
+        epoch's logging/validation/TB write — the keras custom-callback
+        analog (reference trainer.py:90-97).  The CLI uses it for
+        periodic validation mAP (--val_map_every)."""
         cfg = self.cfg
         epochs = epochs if epochs is not None else cfg.epoch
         spe = steps_per_epoch or cfg.steps_per_epoch
@@ -421,6 +427,8 @@ class YOLOv3Trainer:
             if self.tb is not None:
                 self.tb.write_epoch(epoch, lr, total, mean,
                                     self.state.params, val_loss=val_loss)
+            if epoch_callback is not None:
+                epoch_callback(epoch)
 
             # periodic checkpoint (trainer.py:90-91); async — the disk
             # write overlaps the next epoch (_final_save is synchronous)
@@ -485,7 +493,8 @@ class YOLOv3Trainer:
 
     # ------------------------------------------------------------------ #
     def train_multi_scale(self, batches_by_size, val_batches=None,
-                          epochs=None, steps_per_epoch=None):
+                          epochs=None, steps_per_epoch=None,
+                          epoch_callback=None):
         """Multi-scale training: cycle input sizes per epoch.
 
         batches_by_size: {(H, W): batch iterator}.  Each size uses its own
@@ -535,6 +544,8 @@ class YOLOv3Trainer:
                 self.tb.write_epoch(epoch, float(np.asarray(metrics["lr"])),
                                     total, mean, self.state.params,
                                     val_loss=val_loss)
+            if epoch_callback is not None:
+                epoch_callback(epoch)
             if (epoch + 1) % cfg.ckpt_period == 0:
                 self.ckpt.save(int(self.state.step), self.state,
                                wait=False)
