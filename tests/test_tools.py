@@ -196,7 +196,8 @@ def test_cli_derives_steps_per_epoch(tmp_path):
         spe = "unset"
         input_shardings = None  # run.train feeds device_prefetch with it
 
-        def train(self, it, val_batches=None, steps_per_epoch=None):
+        def train(self, it, val_batches=None, steps_per_epoch=None,
+                  epoch_callback=None):
             self.spe = steps_per_epoch
 
     ft = FakeTrainer()
