@@ -480,3 +480,42 @@ def test_epoch_callback_invoked_per_epoch():
     tr.train(batches(), epochs=3, steps_per_epoch=1,
              epoch_callback=seen.append)
     assert seen == [0, 1, 2]
+
+
+def test_stop_monitor_val_map():
+    """stop_monitor='val_map': the epoch_callback's return (held-out
+    mAP) is MAXIMIZED; None returns (off-cadence --val_map_every
+    epochs) count toward neither best nor patience; absent callback
+    fails fast."""
+    from yolov3_tensorflow_tpu.data.loader import Batch
+    images, labels = _batch(8)
+
+    def batches():
+        while True:
+            yield Batch(np.asarray(images), np.asarray(labels))
+
+    cfg = _cfg(stop_monitor="val_map", stop_patience=2,
+               stop_min_delta=1e-4)
+    tr = YOLOv3Trainer(cfg, restore=False,
+                       checkpoint_dir=tempfile.mkdtemp())
+    with pytest.raises(ValueError, match="val_map"):
+        tr.train(batches(), epochs=1, steps_per_epoch=1)
+
+    # mAP rises once then plateaus; None every other epoch must not
+    # consume patience.  Sequence (by epoch): 0.5, None, 0.8, None,
+    # 0.8, None, 0.8 -> best set at epoch 2, the evaluated epochs 4 and
+    # 6 are non-improvements -> patience 2 trips at epoch 6.  With
+    # patience counted per-epoch (the bug this pins against) the None
+    # epochs 3 and 5 would trip it at epoch 5 instead.
+    maps = {0: 0.5, 2: 0.8, 4: 0.8, 6: 0.8, 8: 0.8}
+    seen = []
+
+    def cb(epoch):
+        seen.append(epoch)
+        return maps.get(epoch)
+
+    tr2 = YOLOv3Trainer(cfg, restore=False,
+                        checkpoint_dir=tempfile.mkdtemp())
+    tr2.train(batches(), epochs=50, steps_per_epoch=1,
+              epoch_callback=cb)
+    assert seen[-1] == 6, seen  # 2nd evaluated non-improvement

@@ -165,13 +165,16 @@ def train(cfg, trainer, derive_steps: bool = True,
 
         def epoch_cb(epoch):
             if (epoch + 1) % val_map_every:
-                return
+                return None
             report = score_dataset(
                 cfg, lambda b: trainer.predict(b.images), val_eval_ds,
                 map_style=cfg.map_style)
             logging.info("  val mAP%s = %.4f", style, report["mAP"])
             if trainer.tb is not None:
                 trainer.tb.scalar("val_mAP", report["mAP"], epoch)
+            # the return feeds stop_monitor='val_map' (maximized by the
+            # trainer); None on off-cadence epochs leaves patience alone
+            return report["mAP"]
 
     if cfg.multi_scale_sizes:
         datasets = {
@@ -257,9 +260,11 @@ def main(argv=None):
                    help="evaluate held-out mAP every N epochs (0 = off; "
                         "needs --val_label_path; style per --map_style)")
     p.add_argument("--stop_monitor", default=None,
-                   choices=("loss", "val_loss"),
-                   help="early-stop metric: 'loss' (reference default) "
-                        "or 'val_loss' (needs --val_label_path)")
+                   choices=("loss", "val_loss", "val_map"),
+                   help="early-stop metric: 'loss' (reference default), "
+                        "'val_loss' (needs --val_label_path), or "
+                        "'val_map' (maximize held-out mAP; needs "
+                        "--val_label_path and --val_map_every)")
     p.add_argument("--test_label_path", default=None)
     p.add_argument("--test_set_dir", default=None)
     p.add_argument("--map_style", default=None, choices=("voc", "coco"),

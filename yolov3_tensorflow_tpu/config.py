@@ -180,7 +180,9 @@ class Config:
     stop_min_delta: float = 1e-4
     # early-stop metric: "loss" is the reference's EarlyStopping monitor
     # (trainer.py:92-93); "val_loss" (the keras default) additionally
-    # requires a wired validation set (--val_label_path)
+    # requires a wired validation set (--val_label_path); "val_map"
+    # maximizes the periodic held-out mAP (--val_map_every N — patience
+    # counts EVALUATED epochs, i.e. every N-th)
     stop_monitor: str = "loss"
     ckpt_max_keep: int = 3
     root_path: str = ""

@@ -382,14 +382,18 @@ class YOLOv3Trainer:
         epochs = epochs if epochs is not None else cfg.epoch
         spe = steps_per_epoch or cfg.steps_per_epoch
         self._ensure_schedule(spe)
-        if cfg.stop_monitor not in ("loss", "val_loss"):
+        if cfg.stop_monitor not in ("loss", "val_loss", "val_map"):
             raise ValueError(f"stop_monitor={cfg.stop_monitor!r}: "
-                             "expected 'loss' or 'val_loss'")
+                             "expected 'loss', 'val_loss' or 'val_map'")
         if cfg.stop_monitor == "val_loss" and val_batches is None:
             # fail fast: keras would warn per-epoch and never stop; a
             # 500-patience run silently missing its monitor is a trap
             raise ValueError("stop_monitor='val_loss' requires a "
                              "validation set (--val_label_path)")
+        if cfg.stop_monitor == "val_map" and epoch_callback is None:
+            raise ValueError(
+                "stop_monitor='val_map' requires the mAP epoch callback "
+                "(--val_label_path with --val_map_every N)")
         if self.tb is not None:
             try:
                 self.tb.write_model_structure(*self._model_structure())
@@ -427,8 +431,8 @@ class YOLOv3Trainer:
             if self.tb is not None:
                 self.tb.write_epoch(epoch, lr, total, mean,
                                     self.state.params, val_loss=val_loss)
-            if epoch_callback is not None:
-                epoch_callback(epoch)
+            cb_metric = (epoch_callback(epoch)
+                         if epoch_callback is not None else None)
 
             # periodic checkpoint (trainer.py:90-91); async — the disk
             # write overlaps the next epoch (_final_save is synchronous)
@@ -438,9 +442,20 @@ class YOLOv3Trainer:
 
             # early stopping (trainer.py:92-93); monitor per
             # cfg.stop_monitor — "loss" is the reference's choice,
-            # "val_loss" the keras default when validation is wired
-            monitored = (val_loss if cfg.stop_monitor == "val_loss"
-                         else total)
+            # "val_loss" the keras default when validation is wired,
+            # "val_map" the callback's held-out mAP (maximize; epochs
+            # where the periodic callback returns None — off-cadence
+            # under --val_map_every N — count toward neither best nor
+            # patience, so patience is measured in EVALUATED epochs)
+            if cfg.stop_monitor == "val_map":
+                monitored = (None if cb_metric is None
+                             else -float(cb_metric))
+            elif cfg.stop_monitor == "val_loss":
+                monitored = val_loss
+            else:
+                monitored = total
+            if monitored is None:
+                continue
             if monitored < best - cfg.stop_min_delta:
                 best = monitored
                 patience = 0
