@@ -46,12 +46,21 @@ def test_cli_train_test_predict(sample_set, tmp_path, monkeypatch, caplog):
     assert len(map_logs) == 1, "val_map_every=2 over 2 epochs -> one eval"
 
     out_dir = str(tmp_path / "out_test")
+    report_dir = str(tmp_path / "map_report")
     cli.main(["--mode", "test", "--confidence_thresh", "0.1",
               "--test_label_path", os.path.join(sample_set, "label.txt"),
               "--test_set_dir", os.path.join(sample_set, "images"),
-              "--save_path", out_dir, *common])
+              "--save_path", out_dir,
+              # Cartucho-style artifact directory (infer/map_report.py)
+              "--map_report_dir", report_dir,
+              "--class_name_path", os.path.join(sample_set, "class.txt"),
+              *common])
     written = glob.glob(os.path.join(out_dir, "*.jpg"))
     assert len(written) == 8, written  # one visualization per image
+    results = os.path.join(report_dir, "results.txt")
+    assert os.path.getsize(results) > 0
+    assert "mAP = " in open(results).read()
+    assert os.path.getsize(os.path.join(report_dir, "mAP.png")) > 0
     # drawn output must be a valid image of the input size
     from PIL import Image
     img = np.asarray(Image.open(written[0]))

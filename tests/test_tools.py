@@ -391,3 +391,87 @@ def test_lr_range_test_cli(tmp_path):
     assert (np.diff(lrs) > 0).all(), "lr must ramp up monotonically"
     np.testing.assert_allclose(lrs[0], 1e-7, rtol=1e-3)
     assert np.isfinite(data[:, 2]).all()
+
+
+def _voc_xml(filename, w, h, objects, size=True):
+    objs = "".join(
+        f"<object><name>{n}</name><difficult>{d}</difficult>"
+        f"<bndbox><xmin>{x0}</xmin><ymin>{y0}</ymin>"
+        f"<xmax>{x1}</xmax><ymax>{y1}</ymax></bndbox></object>"
+        for n, x0, y0, x1, y1, d in objects)
+    sz = (f"<size><width>{w}</width><height>{h}</height>"
+          f"<depth>3</depth></size>") if size else ""
+    return (f"<annotation><filename>{filename}</filename>{sz}{objs}"
+            "</annotation>")
+
+
+def test_voc_to_labels_roundtrip(tmp_path):
+    """VOC XML -> label.txt: corner boxes become normalized center/size,
+    names densify sorted, difficult/degenerate objects drop, and the
+    output parses through the real Dataset loader (companion of the
+    COCO converter test above)."""
+    from yolov3_tensorflow_tpu.data.loader import parse_label_file
+    from yolov3_tensorflow_tpu.tools import voc_to_labels
+
+    ann = tmp_path / "Annotations"
+    ann.mkdir()
+    # a.jpg 200x100: dog box (100,40)-(150,60) -> cx .625 cy .5 w .25 h .2
+    (ann / "a.xml").write_text(_voc_xml("a.jpg", 200, 100, [
+        ("dog", 100, 40, 150, 60, 0),
+        ("cat", 0, 0, 20, 10, 0),
+        ("cat", 5, 5, 9, 9, 1),        # difficult: dropped by default
+        ("cat", 30, 30, 30, 45, 0),    # zero width: dropped
+    ]))
+    # b.xml has no boxes left -> row kept only via --keep_empty
+    (ann / "b.xml").write_text(_voc_xml("b.jpg", 100, 100, []))
+    out = tmp_path / "label.txt"
+    voc_to_labels.main([str(ann), "--out", str(out), "--keep_empty"])
+
+    assert (tmp_path / "class.txt").read_text() == "cat\ndog\n"
+    ex = parse_label_file(str(out), str(tmp_path))
+    assert [os.path.basename(e.path) for e in ex] == ["a.jpg", "b.jpg"]
+    a, b = ex[0].labels, ex[1].labels
+    assert b.shape == (0, 5)
+    np.testing.assert_allclose(
+        a, [[0.625, 0.5, 0.25, 0.2, 1.0],   # dog -> dense 1
+            [0.05, 0.05, 0.1, 0.1, 0.0]],   # cat -> dense 0
+        atol=1e-6)
+
+
+def test_voc_to_labels_edge_cases(tmp_path):
+    """Fixed --class_list mapping, unlisted-name drop, whitespace file
+    names, missing <size>, clamping, keep_difficult."""
+    from yolov3_tensorflow_tpu.tools.voc_to_labels import (convert,
+                                                           parse_annotation)
+
+    # fixed class list: ids follow the list, unlisted names drop
+    parsed = [parse_annotation(_voc_xml("a.jpg", 100, 100, [
+        ("dog", 0, 0, 10, 10, 0),
+        ("bird", 0, 0, 10, 10, 0),          # not in the list
+        ("cat", -5, -5, 10, 10, 0),         # clamps to (0,0)-(10,10)
+        ("cat", 2, 2, 8, 8, 1),             # difficult, kept below
+    ]))]
+    lines, names = convert(parsed, class_names=["dog", "cat"],
+                           keep_difficult=True)
+    assert names == ["dog", "cat"]
+    fields = lines[0].split()
+    assert fields[0] == "a.jpg"
+    rows = np.array(fields[1:], float).reshape(-1, 5)
+    assert rows.shape == (3, 5)             # bird dropped
+    np.testing.assert_allclose(rows[0], [0.05, 0.05, 0.1, 0.1, 0])
+    np.testing.assert_allclose(rows[1], [0.05, 0.05, 0.1, 0.1, 1])
+
+    # whitespace file name and missing <size> both skip the image
+    ws = parse_annotation(_voc_xml("has space.jpg", 100, 100,
+                                   [("dog", 0, 0, 10, 10, 0)]))
+    nosz = parse_annotation(_voc_xml("c.jpg", 0, 0,
+                                     [("dog", 0, 0, 10, 10, 0)],
+                                     size=False))
+    lines, _ = convert([ws, nosz], class_names=["dog"], keep_empty=True)
+    assert lines == []
+
+    # <filename> absent falls back to the XML stem
+    name, _, _ = parse_annotation("<annotation><size><width>9</width>"
+                                  "<height>9</height></size></annotation>",
+                                  fallback_name="stem.jpg")
+    assert name == "stem.jpg"

@@ -33,7 +33,7 @@ def build_config(args) -> "Config":
                   "train_set_dir", "test_label_path", "test_set_dir",
                   "save_path", "image_root_path", "quant", "conv_backend",
                   "stem_backend", "augment_backend", "stop_monitor",
-                  "map_style"):
+                  "map_style", "map_report_dir", "class_name_path"):
         v = getattr(args, field, None)
         if v is not None:
             overrides[field] = v
@@ -207,7 +207,8 @@ def test(cfg, trainer):
                  shuffle=False)
     report = score_dataset(cfg, lambda b: trainer.predict(b.images), ds,
                            save_path=cfg.save_path,
-                           map_style=cfg.map_style)
+                           map_style=cfg.map_style,
+                           with_curves=bool(cfg.map_report_dir))
     if cfg.map_style == "coco":
         logging.info(
             "mAP@[.5:.95] = %.4f (mAP@0.5 = %.4f, mAP@0.75 = %.4f; "
@@ -216,6 +217,16 @@ def test(cfg, trainer):
     else:
         logging.info("mAP@0.5 = %.4f (per-class: %s)", report["mAP"],
                      report["per_class"])
+    if cfg.map_report_dir:
+        # Cartucho-style artifact directory (the external tool's
+        # output/ the reference points its users at, run.py:78-79)
+        from yolov3_tensorflow_tpu.infer.map_report import (
+            load_class_names, write_map_report)
+        names = (load_class_names(cfg.class_name_path)
+                 if cfg.class_name_path else None)
+        write_map_report(report, cfg.map_report_dir, names)
+        logging.info("mAP report artifacts written to %s",
+                     cfg.map_report_dir)
     return report
 
 
@@ -270,6 +281,13 @@ def main(argv=None):
     p.add_argument("--map_style", default=None, choices=("voc", "coco"),
                    help="test-mode metric: 'voc' = mAP@0.5 (Cartucho "
                         "convention) or 'coco' = mAP@[.5:.95]")
+    p.add_argument("--map_report_dir", default=None,
+                   help="test mode: write Cartucho-style report "
+                        "artifacts (results.txt, per-class PR curves, "
+                        "AP/GT bar charts) into this directory")
+    p.add_argument("--class_name_path", default=None,
+                   help="class.txt-convention names (one per line) "
+                        "labeling the mAP report; default: class_<id>")
     p.add_argument("--save_path", default=None)
     p.add_argument("--image_root_path", default=None)
     p.add_argument("--input_size", default=None, help="HxW, e.g. 384x480")

@@ -199,6 +199,15 @@ class Config:
     # run.py:78-79); "coco" = mAP@[.50:.05:.95], 101-point
     # interpolation + COCO matching (infer/evaluator.evaluate_map_range)
     map_style: str = "voc"
+    # test-mode report artifacts: non-empty writes Cartucho-style
+    # results.txt + per-class PR-curve plots + AP / GT-count bar charts
+    # (the external tool's output/ the reference delegates to,
+    # run.py:78-79) into this directory (infer/map_report.py)
+    map_report_dir: str = ""
+    # class.txt-convention names (one per line, line k = class k, e.g.
+    # dataset/test_sample/class.txt) labeling report artifacts;
+    # empty = numeric class_<id> labels
+    class_name_path: str = ""
 
     # --- devices: TPU-native replacement for gpu_mode/gpu_num/visible_gpu
     # (configs.py:104-106).  num_devices<=0 means "all available".

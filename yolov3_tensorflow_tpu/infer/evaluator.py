@@ -123,10 +123,22 @@ def _class_tp_fp(dets, per_img_cls_gts, cls, iou_thresh,
     return tp, fp
 
 
+def _pr_curve(dets, per_img_cls_gts, cls, n_gt, iou_thresh, coco_match):
+    """Score-ordered precision/recall arrays for one class (the curves
+    behind an AP number — what Cartucho/mAP plots per class)."""
+    tp, fp = _class_tp_fp(dets, per_img_cls_gts, cls, iou_thresh,
+                          coco_match)
+    ctp, cfp = np.cumsum(tp), np.cumsum(fp)
+    return {"recall": ctp / n_gt,
+            "precision": ctp / np.maximum(ctp + cfp, 1e-12),
+            "scores": np.array([d[0] for d in dets])}
+
+
 def evaluate_map_range(
     detections: Sequence[np.ndarray],
     ground_truths: Sequence[np.ndarray],
     iou_thresholds: Sequence[float] = (),
+    with_curves: bool = False,
 ) -> Dict:
     """COCO-style mAP over an IOU-threshold range (default .50:.05:.95).
 
@@ -179,6 +191,16 @@ def evaluate_map_range(
     for t in (0.5, 0.75):
         if t in per_threshold:
             report[f"mAP@{t}"] = per_threshold[t]
+    if with_curves:
+        # curves at the range's base threshold (0.5 by default) — the
+        # one Cartucho-style per-class plots are drawn at
+        t0 = thresholds[0]
+        report["pr_curves"] = {
+            cls: _pr_curve(per_class_dets[cls], per_img_cls_gts, cls,
+                           gt_count[cls], t0, coco_match=True)
+            for cls in classes
+            if gt_count.get(cls, 0) > 0 and per_class_dets.get(cls)}
+        report["pr_curves_iou"] = t0
     return report
 
 
@@ -186,6 +208,7 @@ def evaluate_map(
     detections: Sequence[np.ndarray],
     ground_truths: Sequence[np.ndarray],
     iou_thresh: float = 0.5,
+    with_curves: bool = False,
 ) -> Dict:
     """Compute mAP@iou_thresh.
 
@@ -220,9 +243,17 @@ def evaluate_map(
     real = [v for v in aps.values() if not np.isnan(v)]
     fp_classes = {cls: len(per_class_dets[cls])
                   for cls in per_class_dets if gt_count.get(cls, 0) == 0}
-    return {"mAP": float(np.mean(real)) if real else 0.0,
-            "per_class": aps, "num_gt": dict(gt_count),
-            "false_positive_classes": fp_classes}
+    report = {"mAP": float(np.mean(real)) if real else 0.0,
+              "per_class": aps, "num_gt": dict(gt_count),
+              "false_positive_classes": fp_classes}
+    if with_curves:
+        report["pr_curves"] = {
+            cls: _pr_curve(per_class_dets[cls], per_img_cls_gts, cls,
+                           gt_count[cls], iou_thresh, coco_match=False)
+            for cls in aps
+            if gt_count.get(cls, 0) > 0 and per_class_dets.get(cls)}
+        report["pr_curves_iou"] = iou_thresh
+    return report
 
 
 def detections_to_eval_format(per_head_boxes: List[np.ndarray]) -> np.ndarray:
@@ -250,7 +281,7 @@ def labels_to_eval_format(labels: np.ndarray, image_wh) -> np.ndarray:
 
 
 def score_dataset(cfg, forward, ds, save_path: str = "",
-                  map_style: str = "voc"):
+                  map_style: str = "voc", with_curves: bool = False):
     """The ``run.py --mode test`` scoring loop, shared with the parity
     harness (tools/map_parity.py): iterate a test Dataset, run a
     pluggable ``forward(batch) -> heads``, decode + NMS + accumulate,
@@ -302,5 +333,6 @@ def score_dataset(cfg, forward, ds, save_path: str = "",
                 gts[:, 4] = 0.0  # single-class mode: all objects class 0
             all_gts.append(gts)
     if map_style == "coco":
-        return evaluate_map_range(all_dets, all_gts)
-    return evaluate_map(all_dets, all_gts)
+        return evaluate_map_range(all_dets, all_gts,
+                                  with_curves=with_curves)
+    return evaluate_map(all_dets, all_gts, with_curves=with_curves)
