@@ -204,3 +204,19 @@ def test_cli_compiler_options_parse():
     assert build_config(
         argparse.Namespace(compiler_options="")).compiler_options == ()
     assert build_config(argparse.Namespace()).compiler_options is None
+
+
+def test_cli_ema_decay_plumbs():
+    """--ema_decay reaches Config (and the parser knows the flag —
+    a non-float value dies in argparse, proving the flag is declared)."""
+    import argparse
+
+    import pytest
+
+    from yolov3_tensorflow_tpu import cli
+
+    cfg = cli.build_config(argparse.Namespace(ema_decay=0.999))
+    assert cfg.ema_decay == 0.999
+    assert cli.build_config(argparse.Namespace()).ema_decay == 0.0
+    with pytest.raises(SystemExit):
+        cli.main(["--ema_decay", "not-a-float"])

@@ -43,7 +43,8 @@ def build_config(args) -> "Config":
         v = getattr(args, field, None)
         if v is not None:
             overrides[field] = v
-    for field in ("confidence_thresh", "nms_thresh", "init_lr"):
+    for field in ("confidence_thresh", "nms_thresh", "init_lr",
+                  "ema_decay"):
         v = getattr(args, field, None)
         if v is not None:
             overrides[field] = v
@@ -298,6 +299,11 @@ def main(argv=None):
                    help="average gradients over this many micro-batches "
                         "per optimizer update (effective batch = "
                         "batch_size * this)")
+    p.add_argument("--ema_decay", type=float, default=None,
+                   help="weight-EMA decay (e.g. 0.999; 0 = off).  When "
+                        "on, eval/test/predict/exports score the EMA "
+                        "shadow weights; pass the same flag at "
+                        "test/predict time to use the shadow")
     p.add_argument("--epoch", type=int, default=None)
     p.add_argument("--class_num", type=int, default=None)
     p.add_argument("--max_boxes", type=int, default=None)

@@ -111,6 +111,20 @@ class Config:
     # BatchNorm statistics still update per micro-batch (standard
     # accumulation semantics — not bit-identical to a single big batch).
     grad_accum_steps: int = 1
+    # exponential moving average of the model weights (0 = off).  The
+    # shadow follows tf.train.ExponentialMovingAverage semantics — after
+    # each optimizer update, shadow -= (1 - d) * (shadow - param) with the
+    # num_updates-dynamic decay d = min(ema_decay, (1 + t) / (10 + t))
+    # (t = optimizer/macro update count, so with grad_accum_steps > 1 the
+    # shadow moves once per MACRO update).  BN moving statistics are
+    # already their own exponential average (momentum 0.9, layers.py) and
+    # are NOT double-smoothed.  When on, every inference surface —
+    # eval_step/val_loss, forward/predict, int8 calibration+inference,
+    # save_pb/save_serving exports, Keras export — scores the EMA
+    # weights; training math is untouched.  The shadow is part of the
+    # checkpointed train state; enabling EMA on an existing EMA-less
+    # checkpoint seeds the shadow from the restored weights.
+    ema_decay: float = 0.0
     mode: str = "train"  # train, test, predict, save_pb, save_serving
     model_backbone: str = BACKBONE_RESNET_18
     optimizer: str = "radam"  # sgdm, adam, radam

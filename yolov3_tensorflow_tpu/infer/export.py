@@ -62,7 +62,7 @@ def save_frozen(trainer, path: str, batch_size: Optional[int] = None):
     h, w, c = cfg.input_image_size
     n = batch_size or 1
     model, qvars = _export_model(trainer)
-    fn = _forward_fn(model, trainer.state.params,
+    fn = _forward_fn(model, trainer.infer_params,
                      trainer.state.batch_stats, qvars)
     exported = jax.export.export(jax.jit(fn))(
         jax.ShapeDtypeStruct((n, h, w, c), jnp.float32))
@@ -100,7 +100,9 @@ def save_serving(trainer, directory: str, batch_size: int = 1):
     # batch size from weights.pkl must get the SAME calibration the
     # gate measured, not an uncalibrated (garbage-clipping) model.
     _, qvars = _export_model(trainer)
-    tree = {"params": trainer.state.params,
+    # infer_params = the EMA shadow when Config.ema_decay is on — the
+    # export must match what trainer.predict() serves
+    tree = {"params": trainer.infer_params,
             "batch_stats": trainer.state.batch_stats}
     if qvars:
         tree["quant"] = qvars

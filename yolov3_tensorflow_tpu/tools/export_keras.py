@@ -59,6 +59,9 @@ def main(argv=None):
                         "(its state structure must match to restore)")
     p.add_argument("--out", required=True,
                    help="output Keras weights file (.weights.h5)")
+    p.add_argument("--ema", action="store_true",
+                   help="export the EMA shadow weights (checkpoint must "
+                        "have been trained with --ema_decay)")
     a = p.parse_args(argv)
 
     import jax
@@ -72,7 +75,9 @@ def main(argv=None):
     t = _tests_module()
     h, w = (int(v) for v in a.input_size.split("x"))
     cfg = Config(class_num=a.class_num, model_backbone=a.backbone,
-                 optimizer=a.optimizer, input_image_size=(h, w, 3))
+                 optimizer=a.optimizer, input_image_size=(h, w, 3),
+                 # any nonzero decay flips infer_params to the shadow
+                 ema_decay=0.999 if a.ema else 0.0)
 
     trainer = YOLOv3Trainer(cfg, restore=True, checkpoint_dir=a.checkpoint)
     step = int(trainer.state.step)
@@ -81,7 +86,7 @@ def main(argv=None):
 
     ref = t.REF_BUILDERS[a.backbone]()
     keras_model = ref.build((h, w), cfg.head_channel_nums)
-    params = jax.tree.map(np.asarray, trainer.state.params)
+    params = jax.tree.map(np.asarray, trainer.infer_params)
     stats = jax.tree.map(np.asarray, trainer.state.batch_stats)
     t._transplant(keras_model, ref, params, stats)
 

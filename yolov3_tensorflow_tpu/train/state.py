@@ -22,9 +22,14 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     image_count: jnp.ndarray  # rectified-coord-loss counter
     rng: jnp.ndarray  # augmentation PRNG key
+    # EMA shadow of ``params`` (Config.ema_decay > 0), else None.  None
+    # contributes no pytree leaves, so EMA-less checkpoints keep their
+    # exact historical layout.
+    ema_params: Any = None
 
     @classmethod
-    def create(cls, params, batch_stats, opt_state, rng):
+    def create(cls, params, batch_stats, opt_state, rng, ema_params=None):
         return cls(step=jnp.zeros((), jnp.int32), params=params,
                    batch_stats=batch_stats, opt_state=opt_state,
-                   image_count=jnp.zeros((), jnp.int32), rng=rng)
+                   image_count=jnp.zeros((), jnp.int32), rng=rng,
+                   ema_params=ema_params)

@@ -44,6 +44,17 @@ from .optimizers import make_optimizer
 from .state import TrainState
 
 
+def _infer_params(cfg, state):
+    """Weights every inference surface scores: the EMA shadow when
+    ``cfg.ema_decay`` is on (standard EMA-eval practice — the averaged
+    weights generalize better late in training), else the live weights.
+    Works both host-side and under trace (the choice is static: config
+    plus pytree structure)."""
+    if cfg.ema_decay and state.ema_params is not None:
+        return state.ema_params
+    return state.params
+
+
 def _normalize_images(images):
     """uint8 batches are normalized on-device (1/255, like the
     reference's convert_image_dtype, file_util.py:58).  Single source
@@ -101,8 +112,15 @@ class YOLOv3Trainer:
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         opt_state = self.tx.init(params)
+        # EMA shadow starts at the init weights (tf.train.
+        # ExponentialMovingAverage.apply semantics); the num_updates-
+        # dynamic decay makes the first steps track the live weights
+        # closely regardless of the init value.  jnp.copy, NOT an alias:
+        # train_step donates the state, and donating the same buffer
+        # twice (params + shadow) is an XLA execution error
+        ema = jax.tree.map(jnp.copy, params) if cfg.ema_decay else None
         self.state = TrainState.create(params, batch_stats, opt_state,
-                                       aug_rng)
+                                       aug_rng, ema_params=ema)
 
         # checkpoint auto-resume (trainer.py:47-67)
         self.ckpt = CheckpointManager(
@@ -112,11 +130,44 @@ class YOLOv3Trainer:
             try:
                 restored = self.ckpt.restore(self.state)
             except Exception as e:
-                raise RuntimeError(
-                    f"checkpoint at {self.ckpt.directory} is incompatible "
-                    f"with the current model/optimizer configuration "
-                    f"({type(e).__name__}); delete it or point "
-                    f"checkpoint_dir elsewhere to start fresh") from e
+                restored = None
+                if cfg.ema_decay:
+                    # enabling EMA mid-project: the checkpoint predates
+                    # the shadow subtree — restore without it and seed
+                    # the shadow from the restored weights
+                    try:
+                        restored = self.ckpt.restore(
+                            self.state.replace(ema_params=None))
+                        restored = restored.replace(
+                            ema_params=jax.tree.map(jnp.copy,
+                                                    restored.params))
+                        logging.info(
+                            "checkpoint has no EMA shadow; seeded it "
+                            "from the restored weights")
+                    except Exception:
+                        restored = None
+                else:
+                    # the symmetric case: an EMA-trained checkpoint
+                    # restored by an EMA-less config (offline tools,
+                    # test/predict without --ema_decay).  Carry the
+                    # shadow (frozen) but serve the LIVE weights —
+                    # pass --ema_decay to score/export the shadow.
+                    try:
+                        restored = self.ckpt.restore(
+                            self.state.replace(ema_params=params))
+                        logging.warning(
+                            "checkpoint carries an EMA shadow but "
+                            "ema_decay=0: inference uses the live "
+                            "weights; set ema_decay to use the shadow")
+                    except Exception:
+                        restored = None
+                if restored is None:
+                    raise RuntimeError(
+                        f"checkpoint at {self.ckpt.directory} is "
+                        f"incompatible with the current model/optimizer "
+                        f"configuration ({type(e).__name__}); delete it "
+                        f"or point checkpoint_dir elsewhere to start "
+                        f"fresh") from e
             if restored is not None:
                 self.state = restored
                 logging.info("restored checkpoint at step %d",
@@ -249,9 +300,29 @@ class YOLOv3Trainer:
             updates, new_opt = tx.update(grads, state.opt_state,
                                          state.params)
             new_params = optax.apply_updates(state.params, updates)
+            new_ema = state.ema_params
+            if cfg.ema_decay:
+                # tf.train.ExponentialMovingAverage with num_updates:
+                # d = min(decay, (1+t)/(10+t)), shadow -= (1-d)(shadow-p).
+                # t counts OPTIMIZER updates; under grad accumulation the
+                # shadow moves only on the micro step that applied one
+                # (zero-update micro steps leave params unchanged, and
+                # decaying toward an unchanged value would compound the
+                # decay k-fold per macro step).
+                if max(1, int(cfg.grad_accum_steps)) > 1:
+                    t = new_opt.gradient_step.astype(jnp.float32)
+                    d = jnp.minimum(cfg.ema_decay, (1.0 + t) / (10.0 + t))
+                    d = jnp.where(new_opt.mini_step == 0, d, 1.0)
+                else:
+                    t = (state.step + 1).astype(jnp.float32)
+                    d = jnp.minimum(cfg.ema_decay, (1.0 + t) / (10.0 + t))
+                new_ema = jax.tree.map(
+                    lambda e, p: e - (1.0 - d) * (e - p),
+                    state.ema_params, new_params)
             new_state = state.replace(
                 step=state.step + 1, params=new_params, batch_stats=new_bs,
-                opt_state=new_opt, image_count=new_count, rng=new_rng)
+                opt_state=new_opt, image_count=new_count, rng=new_rng,
+                ema_params=new_ema)
             metrics = dict(breakdown)
             metrics["total_loss"] = loss_val
             metrics["kernel_reg"] = kreg
@@ -260,21 +331,25 @@ class YOLOv3Trainer:
             return new_state, metrics
 
         def eval_step(state: TrainState, images, labels):
+            # scores the EMA shadow when on (_infer_params) — val_loss/
+            # val_mAP then measure the weights inference will actually use
+            p = _infer_params(cfg, state)
             heads = model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
+                {"params": p, "batch_stats": state.batch_stats},
                 normalize(images), train=False)
             total, breakdown, _ = loss_fn(heads, labels, state.image_count)
             # keras Model.fit's val_loss includes model.losses (the L2
             # regularizers) — omitting them here would offset val_loss
             # from train loss by kreg+greg and break reference parity
-            kreg, greg = l2_regularization(state.params)
+            kreg, greg = l2_regularization(p)
             metrics = dict(breakdown)
             metrics["total_loss"] = total + kreg + greg
             return metrics
 
         def forward(state: TrainState, images):
             return model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
+                {"params": _infer_params(cfg, state),
+                 "batch_stats": state.batch_stats},
                 normalize(images), train=False)
 
         data_shard = batch_sharding(self.mesh, self.cfg.data_axis)
@@ -575,6 +650,14 @@ class YOLOv3Trainer:
 
     # ------------------------------------------------------------------ #
     @property
+    def infer_params(self):
+        """The weights inference and export surfaces must use: the EMA
+        shadow when ``cfg.ema_decay`` is on, else the live weights.
+        infer/export.py and tools/export_keras.py read this instead of
+        ``state.params`` so exported models match predict()."""
+        return _infer_params(self.cfg, self.state)
+
+    @property
     def input_shardings(self):
         """(image, label) shardings of the jitted steps' batch arguments.
         Hand these to ``Dataset.device_prefetch(shardings=...)`` so each
@@ -675,23 +758,27 @@ class YOLOv3Trainer:
             # configuration where NO conv passes the eligibility gate
             # (e.g. small inputs, or a backbone without 3x3/s1 convs)
             # mutates nothing and flax returns {} — quantized inference
-            # is then a documented no-op (predict falls back)
+            # is then a documented no-op (predict falls back).  All three
+            # programs quantize the INFERENCE weights (_infer_params: the
+            # EMA shadow when on) — calibrating live weights but serving
+            # the shadow would mis-scale every activation.
             _, mut = calib_model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
+                {"params": _infer_params(cfg, state),
+                 "batch_stats": state.batch_stats},
                 normalize(images), train=False, mutable=["quant"])
             return mut.get("quant", {})
 
         def calib_more(state, qvars, images):
             _, mut = calib_model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats,
-                 "quant": qvars},
+                {"params": _infer_params(cfg, state),
+                 "batch_stats": state.batch_stats, "quant": qvars},
                 normalize(images), train=False, mutable=["quant"])
             return mut["quant"]
 
         def qforward(state, qvars, images):
             return int8_model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats,
-                 "quant": qvars},
+                {"params": _infer_params(cfg, state),
+                 "batch_stats": state.batch_stats, "quant": qvars},
                 normalize(images), train=False)
 
         img_shard = image_sharding(self.mesh, cfg.data_axis, cfg.model_axis)
