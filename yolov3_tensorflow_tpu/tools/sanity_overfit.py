@@ -32,6 +32,9 @@ def main(argv=None):
     p.add_argument("--checkpoint_dir", default="",
                    help="persist the trained checkpoint here (default: "
                         "temp dir, discarded)")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="train with a weight EMA and gate on the SHADOW "
+                        "weights (Config.ema_decay semantics)")
     a = p.parse_args(argv)
 
     from .. import cli
@@ -44,6 +47,7 @@ def main(argv=None):
         test_label_path=a.label_path, test_set_dir=a.image_dir,
         batch_size=a.batch_size, class_num=a.class_num, epoch=a.epochs,
         confidence_thresh=a.confidence_thresh, save_path=a.save_path,
+        ema_decay=a.ema_decay,
     )
     ckpt = a.checkpoint_dir or tempfile.mkdtemp()
     trainer = YOLOv3Trainer(cfg, restore=False, checkpoint_dir=ckpt)
