@@ -2,7 +2,8 @@
 ``yolov3-tpu`` console script; the repo-root ``run.py`` shim mirrors
 the reference's launch convention.
 
-Dispatches on mode: train, test, predict, save_pb, save_serving.  Unlike
+Dispatches on mode: train, test, predict, save_pb, save_serving, serve
+(a dynamic-batching HTTP inference server, infer/server.py).  Unlike
 the reference (which requires editing configs.py, README.md:42), every
 Config knob can be overridden from the command line.
 
@@ -254,11 +255,42 @@ def predict(cfg, trainer):
         logging.info("predicted %s -> %s", path, out)
 
 
+def serve(cfg, model, args):
+    """Dynamic-batching HTTP server over a trained model (infer/server.py).
+    ``model`` duck-types ``predict(uint8 batch) -> raw heads`` — a live
+    trainer or a ServingModel export consumer."""
+    from yolov3_tensorflow_tpu.infer.server import InferenceServer
+
+    if cfg.quant == "int8" and hasattr(model, "calibrate"):
+        # trainer.predict auto-calibrates activation scales on the FIRST
+        # batch it sees — which in serve mode would be the zero-filled
+        # warmup batch.  Calibrate on real images up front instead.
+        if not (cfg.test_label_path and os.path.isfile(cfg.test_label_path)):
+            raise SystemExit(
+                "--mode serve --quant int8 needs calibration data: pass "
+                "--test_label_path/--test_set_dir (scales are calibrated "
+                "on one batch before serving), or serve a pre-calibrated "
+                "save_serving export via --serving_dir")
+        from yolov3_tensorflow_tpu.data.loader import Dataset
+        ds = Dataset(cfg, cfg.test_label_path, cfg.test_set_dir,
+                     is_test=True, shuffle=False)
+        batch = next(ds.batches(repeat=False))
+        model.calibrate(batch.images)
+        logging.info("serve: int8 scales calibrated on %d images",
+                     len(batch.paths))
+
+    srv = InferenceServer(
+        cfg, model.predict, host=args.serve_host, port=args.port,
+        max_batch=args.max_batch, batch_timeout_ms=args.batch_timeout_ms)
+    srv.start(warmup=not args.no_warmup)
+    srv.serve_forever()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="TPU-native YOLOv3")
     p.add_argument("--mode", default=None,
                    choices=["train", "test", "predict", "save_pb",
-                            "save_serving"])
+                            "save_serving", "serve"])
     p.add_argument("--model_backbone", default=None)
     p.add_argument("--optimizer", default=None)
     p.add_argument("--train_label_path", default=None)
@@ -355,6 +387,20 @@ def main(argv=None):
                         "of a checkpoint (the serving-client path: no "
                         "Python model code, no trainer); save_serving "
                         "mode writes here (default cfg.serving_model_dir)")
+    p.add_argument("--port", type=int, default=8000,
+                   help="serve mode: HTTP port (0 = ephemeral)")
+    p.add_argument("--serve_host", default="127.0.0.1",
+                   help="serve mode: bind address (0.0.0.0 to expose)")
+    p.add_argument("--max_batch", type=int, default=64,
+                   help="serve mode: request-coalescing batch cap "
+                        "(compiled shape ladder = powers of two up to "
+                        "this; b64 is the measured v5e serving peak)")
+    p.add_argument("--batch_timeout_ms", type=float, default=5.0,
+                   help="serve mode: max wait after the first queued "
+                        "request before dispatching a partial batch")
+    p.add_argument("--no_warmup", action="store_true",
+                   help="serve mode: skip compiling the batch-shape "
+                        "ladder before opening the socket")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
     p.add_argument("--checkpoint_dir", default=None)
@@ -374,7 +420,7 @@ def main(argv=None):
     logging.info("jax %s devices=%s", jax.__version__, jax.devices())
 
     serving_dir = getattr(args, "serving_dir", None)
-    if serving_dir and cfg.mode in ("test", "predict"):
+    if serving_dir and cfg.mode in ("test", "predict", "serve"):
         # serving-client path: inference from the deployed artifact
         # alone — no checkpoint discovery, no model build.  ServingModel
         # duck-types trainer.predict (uint8 batches, any size).
@@ -399,14 +445,16 @@ def main(argv=None):
                 "drop the flag or re-export")
         if cfg.mode == "test":
             test(cfg, model)
+        elif cfg.mode == "serve":
+            serve(cfg, model, args)
         else:
             predict(cfg, model)
         return
 
     trainer = YOLOv3Trainer(cfg, enable_tensorboard=args.tensorboard,
                             checkpoint_dir=args.checkpoint_dir)
-    if cfg.mode in ("test", "predict", "save_pb", "save_serving") \
-            and int(trainer.state.step) == 0:
+    if cfg.mode in ("test", "predict", "save_pb", "save_serving",
+                    "serve") and int(trainer.state.step) == 0:
         # Inference from a fresh init scores mAP ~0 with garbage boxes;
         # fail fast like tools/map_parity.py:75 instead of silently
         # evaluating random weights (reference run.py:41-80 likewise
@@ -425,6 +473,8 @@ def main(argv=None):
         test(cfg, trainer)
     elif cfg.mode == "predict":
         predict(cfg, trainer)
+    elif cfg.mode == "serve":
+        serve(cfg, trainer, args)
     elif cfg.mode in ("save_pb", "save_serving"):
         if cfg.quant == "int8":
             # bake calibrated activation scales into the exported int8

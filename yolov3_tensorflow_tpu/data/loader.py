@@ -101,21 +101,19 @@ def transform_labels(labels: np.ndarray, src_hw, dst_hw) -> np.ndarray:
     return out
 
 
-def load_image(path: str, dst_hw: Tuple[int, int],
-               as_float: bool = True) -> np.ndarray:
-    """JPEG decode -> NEAREST letterbox -> BGR (file_util.py:44-59).
+def letterbox_array(arr: np.ndarray, dst_hw: Tuple[int, int],
+                    as_float: bool = True) -> np.ndarray:
+    """NEAREST letterbox of a decoded RGB uint8 (H, W, 3) array -> BGR
+    (file_util.py:44-59).  The decode-independent half of
+    :func:`load_image`, shared with in-memory sources (the serving
+    runtime decodes request bytes, infer/server.py).
 
-    as_float=True gives the reference's float32 [0,1]; as_float=False keeps
-    uint8 — the Dataset ships uint8 to the device (4x less host->device
-    traffic and RAM) and the train step normalizes on-device."""
-    img = Image.open(path).convert("RGB")
-    sw, sh = img.size
+    Uses the explicit center convention floor((i+0.5)*src/dst): PIL's own
+    resize differs by one pixel at exact-integer boundaries (last-ulp
+    affine math), and the native C++ loader must be bit-equal to this
+    path — so all implementations use this same formula."""
+    sh, sw = arr.shape[:2]
     (rh, rw), (pt, pl) = letterbox_geometry((sh, sw), dst_hw)
-    # explicit NEAREST with the center convention floor((i+0.5)*src/dst):
-    # PIL's own resize differs by one pixel at exact-integer boundaries
-    # (last-ulp affine math), and the native C++ loader must be bit-equal
-    # to this path — so both implement this same formula.
-    arr = np.asarray(img, np.uint8)
     ymap = np.minimum(((np.arange(rh) + 0.5) * (sh / rh)).astype(np.int64),
                       sh - 1)
     xmap = np.minimum(((np.arange(rw) + 0.5) * (sw / rw)).astype(np.int64),
@@ -127,6 +125,17 @@ def load_image(path: str, dst_hw: Tuple[int, int],
     if as_float:
         return bgr.astype(np.float32) / 255.0
     return bgr.copy()
+
+
+def load_image(path: str, dst_hw: Tuple[int, int],
+               as_float: bool = True) -> np.ndarray:
+    """JPEG decode -> NEAREST letterbox -> BGR (file_util.py:44-59).
+
+    as_float=True gives the reference's float32 [0,1]; as_float=False keeps
+    uint8 — the Dataset ships uint8 to the device (4x less host->device
+    traffic and RAM) and the train step normalizes on-device."""
+    img = Image.open(path).convert("RGB")
+    return letterbox_array(np.asarray(img, np.uint8), dst_hw, as_float)
 
 
 def pad_labels(labels: np.ndarray, max_boxes: int) -> np.ndarray:
