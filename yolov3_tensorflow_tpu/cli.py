@@ -34,7 +34,8 @@ def build_config(args) -> "Config":
                   "train_set_dir", "test_label_path", "test_set_dir",
                   "save_path", "image_root_path", "quant", "conv_backend",
                   "stem_backend", "augment_backend", "stop_monitor",
-                  "map_style", "map_report_dir", "class_name_path"):
+                  "map_style", "map_report_dir", "class_name_path",
+                  "init_from"):
         v = getattr(args, field, None)
         if v is not None:
             overrides[field] = v
@@ -82,7 +83,8 @@ def build_config(args) -> "Config":
                        ("giou_loss", "is_giou_loss"),
                        ("ghm", "is_gradient_harmonized"),
                        ("mixup", "is_mixup"),
-                       ("gaussian_yolo", "is_gaussian_yolo")):
+                       ("gaussian_yolo", "is_gaussian_yolo"),
+                       ("freeze_backbone", "freeze_backbone")):
         if getattr(args, arg, False):
             overrides[field] = True
     return cfg.replace(**overrides)
@@ -336,6 +338,16 @@ def main(argv=None):
                         "on, eval/test/predict/exports score the EMA "
                         "shadow weights; pass the same flag at "
                         "test/predict time to use the shadow")
+    p.add_argument("--init_from", default=None,
+                   help="transfer-learning init: checkpoint directory of "
+                        "ANOTHER run; shape-matching leaves are copied "
+                        "into the fresh init (heads with a different "
+                        "class_num keep their fresh init).  Ignored when "
+                        "this run resumes its own checkpoint")
+    p.add_argument("--freeze_backbone", action="store_true",
+                   help="fine-tune mode: train only the detection heads "
+                        "(backbone weights frozen; BN statistics still "
+                        "adapt)")
     p.add_argument("--epoch", type=int, default=None)
     p.add_argument("--class_num", type=int, default=None)
     p.add_argument("--max_boxes", type=int, default=None)

@@ -125,6 +125,25 @@ class Config:
     # checkpointed train state; enabling EMA on an existing EMA-less
     # checkpoint seeds the shadow from the restored weights.
     ema_decay: float = 0.0
+    # transfer-learning init: path to ANOTHER run's checkpoint directory.
+    # On a fresh run (no checkpoint in this run's own directory) every
+    # donor param/batch-stat leaf whose tree path AND shape match is
+    # copied into the fresh init; mismatching leaves (e.g. the head
+    # output convs when class_num differs) keep their fresh init.  This
+    # is the Keras fine-tune workflow the reference enables via
+    # ``load_weights(..., by_name=True, skip_mismatch=True)`` on the
+    # checkpoints its trainer writes (yolov3/trainer.py:47-67,90-91).
+    # Optimizer slots, step, RNG and the rectified counter stay fresh.
+    # Ignored (with a log line) when the run resumes its own checkpoint.
+    init_from: str = ""
+    # Fine-tuning: zero the backbone's gradient updates so only the
+    # detection heads train.  BatchNorm MOVING STATISTICS still adapt to
+    # the new data (Keras-1 trainable=False semantics — only weights
+    # freeze; BN inference-mode freezing is a TF2 behavior change the
+    # reference's TF 1.13 never had, and stats tracking the new domain
+    # is what fine-tuning wants).  The L2 regularizers still *report*
+    # frozen params in the loss value; their gradients are zeroed.
+    freeze_backbone: bool = False
     mode: str = "train"  # train, test, predict, save_pb, save_serving
     model_backbone: str = BACKBONE_RESNET_18
     optimizer: str = "radam"  # sgdm, adam, radam

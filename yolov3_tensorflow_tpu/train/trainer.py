@@ -172,6 +172,18 @@ class YOLOv3Trainer:
                 self.state = restored
                 logging.info("restored checkpoint at step %d",
                              int(self.state.step))
+            if cfg.init_from:
+                logging.info(
+                    "init_from ignored: run already has a checkpoint at "
+                    "%s (resumed step %d)", self.ckpt.directory,
+                    int(self.state.step))
+        elif cfg.init_from:
+            # transfer-learning init (Keras load_weights by_name +
+            # skip_mismatch over the reference's trainer checkpoints,
+            # yolov3/trainer.py:47-67): graft matching donor leaves into
+            # the fresh init; class-dependent heads keep their fresh init
+            from .transfer import load_pretrained
+            self.state, _ = load_pretrained(self.state, cfg.init_from)
 
         self._build_steps()
         self.tb = TensorBoardWriter(cfg.tensorboard_dir) \
@@ -297,6 +309,14 @@ class YOLOv3Trainer:
             (loss_val, aux), grads = jax.value_and_grad(
                 compute, has_aux=True)(state.params)
             new_bs, breakdown, new_count, kreg, greg = aux
+            if cfg.freeze_backbone:
+                # fine-tune mode: only the heads train.  Zeroed gradients
+                # keep every momentum/Adam slot at exactly zero, so the
+                # frozen subtree never moves; BN moving statistics (in
+                # new_bs, not params) still adapt to the new data —
+                # Keras-1 trainable=False semantics (config.py docstring)
+                grads = {**grads, "backbone": jax.tree.map(
+                    jnp.zeros_like, grads["backbone"])}
             updates, new_opt = tx.update(grads, state.opt_state,
                                          state.params)
             new_params = optax.apply_updates(state.params, updates)
