@@ -71,6 +71,36 @@ def test_init_from_grafts_backbone_skips_heads():
                                       np.asarray(leaf))
 
 
+def test_init_from_prefers_donor_ema_shadow():
+    """An EMA-trained donor serves its shadow, so fine-tuning grafts the
+    shadow — not the live weights (prefer_ema=False opts out)."""
+    donor_dir = tempfile.mkdtemp()
+    donor = YOLOv3Trainer(_cfg(ema_decay=0.5), restore=False,
+                          checkpoint_dir=donor_dir)
+    images, labels = _batch(8, seed=4)
+    for _ in range(3):
+        donor.state, _ = donor.train_step(donor.state, images, labels)
+    donor.ckpt.save(int(donor.state.step), donor.state, force=True)
+    shadow = dict(_leaf_paths(jax.tree.map(np.asarray,
+                                           donor.state.ema_params)))
+    live = dict(_leaf_paths(jax.tree.map(np.asarray, donor.state.params)))
+
+    ft = YOLOv3Trainer(_cfg(init_from=donor_dir), restore=False,
+                       checkpoint_dir=tempfile.mkdtemp())
+    for path, leaf in _leaf_paths(ft.state.params):
+        np.testing.assert_array_equal(shadow[path], np.asarray(leaf))
+    # the shadow genuinely differs from the live weights after 3 steps
+    assert any(not np.array_equal(shadow[p], live[p]) for p in shadow)
+
+    ft_live, rep = load_pretrained(
+        YOLOv3Trainer(_cfg(), restore=False,
+                      checkpoint_dir=tempfile.mkdtemp()).state,
+        donor_dir, prefer_ema=False)
+    assert not rep["used_ema"]
+    for path, leaf in _leaf_paths(ft_live.params):
+        np.testing.assert_array_equal(live[path], np.asarray(leaf))
+
+
 def test_init_from_ignored_on_resume():
     """A run that resumes its own checkpoint must NOT re-graft the donor
     (that would silently roll trained weights back)."""

@@ -49,8 +49,9 @@ def _graft(target: Any, donor_leaves: dict, report: dict, prefix=()):
     return jnp.asarray(donor, dtype=target.dtype)
 
 
-def load_pretrained(state, directory: str, step: Optional[int] = None):
-    """Graft a donor checkpoint's params + batch_stats into ``state``.
+def load_pretrained(state, directory: str, step: Optional[int] = None,
+                    prefer_ema: bool = True):
+    """Graft a donor checkpoint's weights + batch_stats into ``state``.
 
     Returns ``(new_state, report)`` where report counts copied leaves and
     lists shape-mismatched / donor-absent paths.  Raises if the donor
@@ -59,6 +60,12 @@ def load_pretrained(state, directory: str, step: Optional[int] = None):
     RNG and the rectified counter are untouched (fresh run); when the
     state carries an EMA shadow it is re-seeded from the grafted weights
     (the shadow must track the weights actually being trained).
+
+    ``prefer_ema`` (default): a donor trained with ``--ema_decay``
+    serves, evaluates and exports its EMA SHADOW, not its live weights —
+    so fine-tuning starts from the shadow too (grafting the live
+    weights would start from parameters nobody ever validated).  Pass
+    False to take the live weights deliberately.
     """
     mgr = ocp.CheckpointManager(directory)
     try:
@@ -69,8 +76,15 @@ def load_pretrained(state, directory: str, step: Optional[int] = None):
         raw = mgr.restore(step)  # template-free: nested plain dicts
     finally:
         mgr.close()
-    report = {"copied": 0, "shape_skipped": [], "missing": [], "step": step}
-    donor_params = _flatten(raw.get("params", {}))
+    report = {"copied": 0, "shape_skipped": [], "missing": [], "step": step,
+              "used_ema": False}
+    donor_weights = raw.get("params", {})
+    if prefer_ema and isinstance(raw.get("ema_params"), dict):
+        donor_weights = raw["ema_params"]
+        report["used_ema"] = True
+        logging.info("init_from: donor carries an EMA shadow — grafting "
+                     "the shadow (the donor's serving weights)")
+    donor_params = _flatten(donor_weights)
     donor_stats = _flatten(raw.get("batch_stats", {}))
     new_params = _graft(state.params, donor_params, report)
     new_stats = _graft(state.batch_stats, donor_stats, report)
