@@ -85,9 +85,49 @@ def test_average_cli_and_errors(capsys):
         average_checkpoints(ckdir, tempfile.mkdtemp(), steps=[1, 99])
     with pytest.raises(FileNotFoundError):
         average_checkpoints(tempfile.mkdtemp(), tempfile.mkdtemp())
+    with pytest.raises(ValueError, match="duplicates"):
+        average_checkpoints(ckdir, tempfile.mkdtemp(), steps=[1, 1, 2])
+    with pytest.raises(ValueError, match="inside the source"):
+        average_checkpoints(ckdir, ckdir)  # would overwrite a member
+    with pytest.raises(ValueError, match="inside the source"):
+        average_checkpoints(ckdir, ckdir + "/sub")
 
     out = tempfile.mkdtemp()
     avg_main(["--checkpoint", ckdir, "--out", out, "--steps", "1,2"])
     assert "averaged 2 checkpoints" in capsys.readouterr().out
     restored = YOLOv3Trainer(cfg, restore=True, checkpoint_dir=out)
     assert int(restored.state.step) == 2
+
+
+def test_average_mixed_ema_membership():
+    """ema_decay enabled mid-project on the same checkpoint_dir: the
+    member set straddles the transition.  The average must keep the
+    newest member's EMA shadow (averaged over the members that have
+    one) instead of raising or silently stripping it."""
+    ckdir = tempfile.mkdtemp()
+    images, labels = _batch(8, seed=2)
+
+    tr = YOLOv3Trainer(_cfg(), restore=False, checkpoint_dir=ckdir)
+    tr.state, _ = tr.train_step(tr.state, images, labels)
+    tr.ckpt.save(int(tr.state.step), tr.state, force=True)  # no EMA
+
+    tr2 = YOLOv3Trainer(_cfg(ema_decay=0.9), restore=True,
+                        checkpoint_dir=ckdir)
+    shadows = []
+    for _ in range(2):
+        tr2.state, _ = tr2.train_step(tr2.state, images, labels)
+        tr2.ckpt.save(int(tr2.state.step), tr2.state, force=True)
+        shadows.append(jax.tree.map(np.asarray, tr2.state.ema_params))
+
+    out = tempfile.mkdtemp()
+    assert average_checkpoints(ckdir, out, last=3) == [1, 2, 3]
+    avg = YOLOv3Trainer(_cfg(ema_decay=0.9), restore=True,
+                        checkpoint_dir=out)
+    assert avg.state.ema_params is not None
+    expect = {p: (dict(_leaves(shadows[0]))[p].astype(np.float64)
+                  + dict(_leaves(shadows[1]))[p]) / 2.0
+              for p, _ in _leaves(shadows[0])}
+    for path, leaf in _leaves(jax.tree.map(np.asarray,
+                                           avg.state.ema_params)):
+        np.testing.assert_allclose(np.asarray(leaf), expect[path],
+                                   rtol=1e-6, atol=1e-7)

@@ -45,7 +45,19 @@ def _tree_mean(trees: Sequence):
 def average_checkpoints(checkpoint_dir: str, out_dir: str,
                         last: int = 3, steps: Sequence[int] | None = None):
     """Returns the list of averaged steps.  ``steps`` overrides ``last``."""
+    import os
+
     import orbax.checkpoint as ocp
+
+    # refuse an --out that is (or lives inside) the source directory:
+    # the force=True save below would overwrite the newest source
+    # checkpoint in place, destroying a member of its own average
+    src = os.path.abspath(checkpoint_dir)
+    dst = os.path.abspath(out_dir)
+    if dst == src or dst.startswith(src + os.sep):
+        raise ValueError(
+            f"--out {out_dir} is inside the source --checkpoint "
+            f"{checkpoint_dir}; pick a separate output directory")
 
     mgr = ocp.CheckpointManager(checkpoint_dir)
     try:
@@ -53,7 +65,14 @@ def average_checkpoints(checkpoint_dir: str, out_dir: str,
         if not all_steps:
             raise FileNotFoundError(
                 f"no checkpoints under {checkpoint_dir}")
-        use = sorted(steps) if steps else all_steps[-last:]
+        if steps:
+            if len(set(steps)) != len(steps):
+                raise ValueError(
+                    f"--steps contains duplicates: {sorted(steps)} — each "
+                    f"checkpoint enters the uniform mean exactly once")
+            use = sorted(steps)
+        else:
+            use = all_steps[-last:]
         missing = [s for s in use if s not in all_steps]
         if missing:
             raise ValueError(f"steps {missing} not in {all_steps} "
@@ -67,10 +86,22 @@ def average_checkpoints(checkpoint_dir: str, out_dir: str,
         mgr.close()
     newest = raws[-1]
     # average every weight-like subtree; keep the newest member's
-    # optimizer slots / step / RNG / counters verbatim
+    # optimizer slots / step / RNG / counters verbatim.  Membership can
+    # be mixed per-key (--ema_decay may be enabled mid-project on the
+    # same checkpoint_dir), so each key averages over exactly the
+    # members that carry it as a dict — never indexing the others, and
+    # never letting an EMA-less OLDEST member strip the newest
+    # checkpoint's shadow from the output.
     for key in ("params", "ema_params", "batch_stats"):
-        if isinstance(newest.get(key), dict):
-            newest[key] = _tree_mean([r[key] for r in raws])
+        if not isinstance(newest.get(key), dict):
+            continue
+        have = [(s, r[key]) for s, r in zip(use, raws)
+                if isinstance(r.get(key), dict)]
+        if len(have) < len(raws):
+            logging.warning(
+                "'%s' present only in steps %s of %s; averaging over "
+                "those members only", key, [s for s, _ in have], use)
+        newest[key] = _tree_mean([t for _, t in have])
     out = ocp.CheckpointManager(
         out_dir, options=ocp.CheckpointManagerOptions(create=True))
     try:
