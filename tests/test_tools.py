@@ -155,6 +155,66 @@ def test_hlo_stats_aggregation_and_format():
     assert "0.0%" in format_op_table({"copy": 0.0}, []).replace(" ", "")
 
 
+def test_roofline_report_and_stream_parse():
+    """tools/roofline: HLO-expression stream parsing (memory-space
+    S(k) exclusion, tuple outputs) and the per-op max/sum roofline
+    bounds on synthetic hlo_stats rows — the audit that closed the
+    round-3 'measured local optimum' question (PERF.md round 4)."""
+    from yolov3_tensorflow_tpu.tools.roofline import (
+        format_report, parse_expression_streams, roofline_report)
+
+    expr = ("%f = bf16[64,104,104,64]{3,0,2,1:T(8,128)(2,1)} "
+            "fusion(bf16[64,104,104,64]{3,0,2,1:T(8,128)(2,1)} %copy, "
+            "bf16[3,3,64,64]{3,2,1,0:T(8,128)(2,1)S(1)} %w), "
+            "kind=kOutput")
+    s = parse_expression_streams(expr)
+    assert [(x[0], x[4]) for x in s] == [("out", False), ("in", False),
+                                         ("in", True)]
+    assert s[0][3] == 64 * 104 * 104 * 64 * 2  # bf16 bytes
+    tup = ("%g = (bf16[8,16]{1,0:T(8,128)(2,1)}, f32[16]{0:T(128)}) "
+           "fusion(f32[8,16]{1,0} %a), kind=kLoop")
+    assert [x[0] for x in parse_expression_streams(tup)] == \
+        ["out", "out", "in"]
+
+    rows = [
+        # 5 occurrences over 5 steps; 150 TFLOP/s measured, low BW ->
+        # compute-bound; bound = flops/peak
+        {"program_id": "1", "hlo_op_name": "conv",
+         "category": "convolution fusion", "occurrences": 5,
+         "total_time": 5000.0, "total_self_time": 5000.0,
+         "model_flop_rate": 150000.0, "hbm_bw": 100.0,
+         "bound_by": "Compute", "hlo_op_expression": expr},
+        # pure-bandwidth op at ~537 GB/s
+        {"program_id": "1", "hlo_op_name": "copy",
+         "category": "data formatting", "occurrences": 5,
+         "total_time": 1000.0, "total_self_time": 1000.0,
+         "model_flop_rate": 0.0, "hbm_bw": 500.0, "bound_by": "HBM",
+         "hlo_op_expression": ""},
+        # a different (smaller) program — the scalar fetch — must be
+        # excluded by the dominant-program filter
+        {"program_id": "2", "hlo_op_name": "other", "category": "x",
+         "occurrences": 1, "total_time": 50.0, "total_self_time": 50.0,
+         "model_flop_rate": 0.0, "hbm_bw": 0.0,
+         "hlo_op_expression": ""},
+    ]
+    rep = roofline_report(rows, steps=5, flop_peak_tflops=197.0,
+                          hbm_peak_gbs=819.0)
+    assert [o["name"] for o in rep["ops"]] == ["conv", "copy"]
+    conv = rep["ops"][0]
+    assert abs(conv["tflops_rate"] - 150.0) < 1e-6
+    # max bound is the flop phase; sum bound adds the memory phase
+    assert abs(conv["bound_ms"] - 1.0 * 150 / 197) < 1e-3
+    assert conv["sum_bound_ms"] > conv["bound_ms"]
+    assert 0 < conv["pct_of_bound"] < conv["pct_of_sum_bound"]
+    # stream attribution: measured bytes split over non-VMEM shapes
+    streams = {(s["dims"], s["direction"]): s for s in rep["streams"]}
+    assert ("64,104,104,64", "out") in streams
+    assert ("3,3,64,64", "in") not in streams  # VMEM-pinned
+    text = format_report(rep, top=5, threshold=0.85)
+    assert "program totals" in text and "conv" in text
+    assert "serial-phase" in text
+
+
 def test_step_timer_reset_clears_samples():
     """reset() between phases must drop phase-1 samples (previously it
     only re-based the clock, mixing phases in summary())."""

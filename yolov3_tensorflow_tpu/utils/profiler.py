@@ -48,8 +48,9 @@ def _gviz_rows(table: dict) -> list[dict]:
             for r in table["rows"]]
 
 
-def aggregate_hlo_stats(table: dict):
-    """Aggregate an xprof 'hlo_stats' gviz table.
+def aggregate_hlo_stats(table):
+    """Aggregate an xprof 'hlo_stats' gviz table (or a pre-extracted
+    list of row dicts as returned by :func:`hlo_stats_rows`).
 
     Returns ``(by_category, ops)``: by_category maps op category ->
     total self time in us; ops is a list of
@@ -61,9 +62,10 @@ def aggregate_hlo_stats(table: dict):
         except (TypeError, ValueError):
             return 0.0
 
+    rows = table if isinstance(table, list) else _gviz_rows(table)
     by_cat: dict[str, float] = {}
     ops = []
-    for r in _gviz_rows(table):
+    for r in rows:
         t = fget(r, "total_time")  # us
         cat = r.get("category") or "?"
         by_cat[cat] = by_cat.get(cat, 0.0) + t
@@ -74,12 +76,12 @@ def aggregate_hlo_stats(table: dict):
     return by_cat, ops
 
 
-def hlo_op_table(trace_dir: str):
-    """Parse a ``jax.profiler.trace`` directory into per-op HLO times
-    via xprof's hlo_stats tool (the workflow that drove the round-2/3
-    kernel decisions, PERF.md).  Returns ``(by_category, ops)`` as in
-    :func:`aggregate_hlo_stats`; raises RuntimeError when the trace has
-    no xplane files or no HLO rows (e.g. host-only CPU traces)."""
+def hlo_stats_rows(trace_dir: str) -> list[dict]:
+    """Parse a ``jax.profiler.trace`` directory into raw per-op
+    hlo_stats rows (list of ``{col_id: value}`` dicts — every xprof
+    column, incl. ``hbm_bw``/``operational_intensity``/``bound_by``,
+    which the roofline audit consumes).  Raises RuntimeError when the
+    trace has no xplane files or no HLO rows (host-only CPU traces)."""
     import glob
     import json
     import os
@@ -106,7 +108,16 @@ def hlo_op_table(trace_dir: str):
     if not table.get("rows"):
         raise RuntimeError("hlo_stats returned no rows "
                            "(host-only trace?)")
-    return aggregate_hlo_stats(table)
+    return _gviz_rows(table)
+
+
+def hlo_op_table(trace_dir: str):
+    """Parse a ``jax.profiler.trace`` directory into per-op HLO times
+    via xprof's hlo_stats tool (the workflow that drove the round-2/3
+    kernel decisions, PERF.md).  Returns ``(by_category, ops)`` as in
+    :func:`aggregate_hlo_stats`; raises RuntimeError when the trace has
+    no xplane files or no HLO rows (e.g. host-only CPU traces)."""
+    return aggregate_hlo_stats(hlo_stats_rows(trace_dir))
 
 
 def format_op_table(by_cat, ops, top_n: int = 30,
