@@ -15,6 +15,10 @@ reference's host-Python post-process bottleneck made device-native.
 serving latency (default batch 1): each request is dispatched and
 synced individually (scalar fetch — the serving client's view, relay
 dispatch overhead included), reporting p50/p90/p99.
+
+All modes accept ``--backbone NAME`` (resnet-18 default; resnet-18-v2,
+resnext-18, mixnet-18, mobilenet-v2) — the metric name gains a
+backbone suffix so the flagship series stays comparable.
 """
 from __future__ import annotations
 
@@ -25,6 +29,24 @@ import time
 import numpy as np
 
 BASELINE_IMG_S = 5000.0
+
+
+def _pop_backbone(args: list) -> str:
+    """Extract ``--backbone NAME`` from an argv slice (any position).
+    Every PERF.md number before round 4 is flagship(resnet-18)-only;
+    this flag is how the other four backbones get TPU numbers."""
+    if "--backbone" not in args:
+        return "resnet-18"
+    i = args.index("--backbone")
+    if i + 1 >= len(args):
+        sys.exit("--backbone requires a name")
+    name = args[i + 1]
+    del args[i:i + 2]
+    from yolov3_tensorflow_tpu.config import ALL_BACKBONES
+    if name not in ALL_BACKBONES:
+        sys.exit(f"unknown backbone {name!r} (choose from "
+                 f"{', '.join(ALL_BACKBONES)})")
+    return name
 
 
 def main_latency(args):
@@ -46,10 +68,12 @@ def main_latency(args):
 
     quant = "--quant" in args
     args = [a for a in args if a != "--quant"]
+    backbone = _pop_backbone(args)
     batch = int(args[0]) if args else 1
     requests = int(args[1]) if len(args) > 1 else 100
     cfg = Config(input_image_size=(416, 416, 3), batch_size=batch,
                  max_boxes=32, num_devices=1, confidence_thresh=0.5,
+                 model_backbone=backbone,
                  quant="int8" if quant else "none")
     trainer = YOLOv3Trainer(cfg, restore=False,
                             checkpoint_dir=tempfile.mkdtemp())
@@ -86,7 +110,8 @@ def main_latency(args):
 
     print(json.dumps({
         "metric": f"serving_latency_ms_b{batch}_416"
-                  + ("_int8" if quant else ""),
+                  + ("_int8" if quant else "")
+                  + ("" if backbone == "resnet-18" else "_" + backbone),
         "value": pct(50),
         "unit": "ms",
         "vs_baseline": None,  # the reference publishes no latency number
@@ -108,10 +133,12 @@ def main_infer(args):
 
     quant = "--quant" in args
     args = [a for a in args if a != "--quant"]
+    backbone = _pop_backbone(args)
     batch = int(args[0]) if args else 64
     steps = int(args[1]) if len(args) > 1 else 20
     cfg = Config(input_image_size=(416, 416, 3), batch_size=batch,
                  max_boxes=32, num_devices=1, confidence_thresh=0.5,
+                 model_backbone=backbone,
                  quant="int8" if quant else "none")
     trainer = YOLOv3Trainer(cfg, restore=False,
                             checkpoint_dir=tempfile.mkdtemp())
@@ -146,7 +173,8 @@ def main_infer(args):
     img_s = batch * steps / dt
     print(json.dumps({
         "metric": "infer_images_per_sec_batched_nms_416"
-                  + ("_int8" if quant else ""),
+                  + ("_int8" if quant else "")
+                  + ("" if backbone == "resnet-18" else "_" + backbone),
         "value": round(img_s, 2),
         "unit": "img/s",
         "vs_baseline": None,  # the reference publishes no number
@@ -162,10 +190,12 @@ def main():
     from yolov3_tensorflow_tpu.config import Config
     from yolov3_tensorflow_tpu.train.trainer import YOLOv3Trainer
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    args = sys.argv[1:]
+    backbone = _pop_backbone(args)
+    batch = int(args[0]) if len(args) > 0 else 128
+    steps = int(args[1]) if len(args) > 1 else 20
     # optional 3rd arg: augment backend A/B (auto | fused | xla)
-    aug_backend = sys.argv[3] if len(sys.argv) > 3 else "auto"
+    aug_backend = args[2] if len(args) > 2 else "auto"
     if aug_backend not in ("auto", "fused", "xla"):
         # an unknown string would silently fall through trainer's
         # backend match to the auto(=xla) branch, corrupting the A/B
@@ -173,7 +203,7 @@ def main():
                  "(choose auto | fused | xla)")
 
     cfg = Config(input_image_size=(416, 416, 3), batch_size=batch,
-                 max_boxes=32, model_backbone="resnet-18",
+                 max_boxes=32, model_backbone=backbone,
                  optimizer="radam", is_augment=True,
                  augment_backend=aug_backend,
                  rectified_coord_num=-1, num_devices=1)
@@ -210,7 +240,8 @@ def main():
     n_chips = max(1, trainer.mesh.shape[cfg.data_axis])
     img_s = batch * steps / dt / n_chips
     print(json.dumps({
-        "metric": "train_images_per_sec_per_chip_416",
+        "metric": "train_images_per_sec_per_chip_416"
+                  + ("" if backbone == "resnet-18" else "_" + backbone),
         "value": round(img_s, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(img_s / BASELINE_IMG_S, 4),

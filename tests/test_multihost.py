@@ -1,0 +1,115 @@
+"""Multi-host input feeding, process-tested for real.
+
+cli.py shards the Dataset per process (shard=(process_index, count))
+and Dataset.device_prefetch assembles per-host batches into global
+arrays via jax.make_array_from_process_local_data (loader.py:315-359).
+test_data.py proves the shard math single-process; THIS test runs the
+actual multi-process runtime: two OS processes under
+jax.distributed.initialize (CPU/gloo), each decoding a disjoint shard
+of the bundled reference sample, assembling a global batch over a
+2-device mesh, and reducing it with a cross-process jitted sum.
+
+The reference never ran multi-host at all (its DP is a single-process
+multi_gpu_model, yolov3/trainer.py:41); this pins the beyond-parity
+path (docs/scaling.md).
+"""
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SAMPLE = "/root/reference/dataset/test_sample"
+
+WORKER = textwrap.dedent("""
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    port, pid = sys.argv[1], int(sys.argv[2])
+    jax.distributed.initialize(f"localhost:{port}", num_processes=2,
+                               process_id=pid)
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    sys.path.insert(0, %(repo)r)
+    from yolov3_tensorflow_tpu.config import Config
+    from yolov3_tensorflow_tpu.data.loader import Dataset
+
+    assert jax.process_count() == 2 and jax.device_count() == 2
+    cfg = Config(input_image_size=(64, 96, 3), batch_size=4,
+                 max_boxes=8, class_num=13)
+    ds = Dataset(cfg, %(sample)r + "/label.txt",
+                 %(sample)r + "/images", cache=True, shuffle=False,
+                 dst_hw=(64, 96), shard=(pid, 2))
+    # disjoint shards covering the corpus
+    assert ds.global_size == 20 and len(ds) == 10
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    img_s = NamedSharding(mesh, P("data"))
+    lab_s = NamedSharding(mesh, P("data"))
+    it = ds.device_prefetch(batch_size=2, repeat=False,
+                            shardings=(img_s, lab_s))
+    batch = next(it)
+    # the global batch spans both processes: 2 local -> 4 global
+    assert batch.images.shape == (4, 64, 96, 3), batch.images.shape
+    assert batch.labels.shape[0] == 4
+
+    @jax.jit
+    def total(x):
+        return jnp.sum(x.astype(jnp.float32))
+
+    s = total(batch.images)  # cross-process reduction over the mesh
+    # every process must observe the SAME global sum
+    print("GLOBALSUM", float(s), flush=True)
+""")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.skipif(not os.path.isdir(SAMPLE),
+                    reason="reference sample not present")
+def test_two_process_global_batch_assembly(tmp_path):
+    port = _free_port()
+    code = WORKER % {"repo": REPO, "sample": SAMPLE}
+    env = dict(os.environ)
+    # the workers force the CPU platform themselves; drop any inherited
+    # host-device-count override so each process owns exactly 1 device
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", code, str(port), str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=str(tmp_path)) for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+    sums = [float(line.split()[1]) for out in outs
+            for line in out.splitlines() if line.startswith("GLOBALSUM")]
+    assert len(sums) == 2
+    # both processes see the identical global reduction
+    assert sums[0] == sums[1]
+
+    # and it matches the single-process ground truth over the same 4
+    # examples: shard 0 holds even indices (0,2), shard 1 odd (1,3) —
+    # the global batch is examples {0,2} + {1,3} = the first 4 of the
+    # unsharded corpus (interleaved order, same multiset)
+    from yolov3_tensorflow_tpu.config import Config
+    from yolov3_tensorflow_tpu.data.loader import Dataset
+    cfg = Config(input_image_size=(64, 96, 3), batch_size=4,
+                 max_boxes=8, class_num=13)
+    full = Dataset(cfg, SAMPLE + "/label.txt", SAMPLE + "/images",
+                   cache=True, shuffle=False, dst_hw=(64, 96))
+    expect = sum(float(np.sum(full._image(i).astype(np.float64)))
+                 for i in range(4))
+    assert abs(sums[0] - expect) < 1e-3 * max(1.0, abs(expect))

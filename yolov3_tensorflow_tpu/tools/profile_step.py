@@ -27,7 +27,8 @@ import time
 
 
 def _flagship(mode: str, batch: int, conv_backend: str,
-              stem_backend: str, augment_backend: str = "auto"):
+              stem_backend: str, augment_backend: str = "auto",
+              backbone: str = "resnet-18"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -37,7 +38,7 @@ def _flagship(mode: str, batch: int, conv_backend: str,
     from ..train.trainer import YOLOv3Trainer
 
     cfg = Config(input_image_size=(416, 416, 3), batch_size=batch,
-                 max_boxes=32, model_backbone="resnet-18",
+                 max_boxes=32, model_backbone=backbone,
                  optimizer="radam", is_augment=True,
                  rectified_coord_num=-1, num_devices=1,
                  conv_backend=conv_backend, stem_backend=stem_backend,
@@ -89,6 +90,7 @@ def main(argv=None):
     ap.add_argument("--conv_backend", default="xla")
     ap.add_argument("--stem_backend", default="auto")
     ap.add_argument("--augment_backend", default="auto")
+    ap.add_argument("--backbone", default="resnet-18")
     args = ap.parse_args(argv)
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="yolov3_trace_")
 
@@ -96,7 +98,8 @@ def main(argv=None):
                                   trace_steps)
 
     run_steps = _flagship(args.mode, args.batch, args.conv_backend,
-                          args.stem_backend, args.augment_backend)
+                          args.stem_backend, args.augment_backend,
+                          backbone=args.backbone)
     run_steps(3)  # compile + warmup
     t0 = time.perf_counter()
     run_steps(args.steps)

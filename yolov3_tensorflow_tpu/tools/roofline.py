@@ -272,6 +272,7 @@ def main(argv=None):
     ap.add_argument("--conv_backend", default="xla")
     ap.add_argument("--stem_backend", default="auto")
     ap.add_argument("--augment_backend", default="auto")
+    ap.add_argument("--backbone", default="resnet-18")
     ap.add_argument("--json", default=None,
                     help="also dump the full report as JSON")
     args = ap.parse_args(argv)
@@ -280,7 +281,8 @@ def main(argv=None):
     from .profile_step import _flagship
 
     run_steps = _flagship(args.mode, args.batch, args.conv_backend,
-                          args.stem_backend, args.augment_backend)
+                          args.stem_backend, args.augment_backend,
+                          backbone=args.backbone)
     run_steps(3)  # compile + warmup
     t0 = time.perf_counter()
     run_steps(args.steps)
