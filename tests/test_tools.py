@@ -155,6 +155,30 @@ def test_hlo_stats_aggregation_and_format():
     assert "0.0%" in format_op_table({"copy": 0.0}, []).replace(" ", "")
 
 
+def test_summarize_models_svg(tmp_path):
+    """--svg_dir renders a per-backbone architecture diagram (the
+    reference commits plot_model SVGs, images/*.svg) whose boxes come
+    from the live flax module tree under eval_shape."""
+    import xml.dom.minidom
+
+    from yolov3_tensorflow_tpu.tools.summarize_models import (
+        _layer_rows, render_svg)
+
+    rows = _layer_rows("resnet-18", (96, 128), 13)
+    names = [r[1] for r in rows]
+    assert "backbone/Conv_0" in names
+    assert any(n.startswith("head_out") for n in names)
+    assert "backbone" not in names  # containers filtered
+    conv0 = next(r for r in rows if r[1] == "backbone/Conv_0")
+    assert conv0[2] == (1, 48, 64, 64)      # stem output shape
+    assert conv0[3] == 3 * 3 * 3 * 64       # stem kernel params
+
+    svg = render_svg("resnet-18", (96, 128), rows)
+    xml.dom.minidom.parseString(svg)        # well-formed
+    assert "backbone/Conv_0 +BN" in svg
+    assert "head_out_8" in svg
+
+
 def test_roofline_report_and_stream_parse():
     """tools/roofline: HLO-expression stream parsing (memory-space
     S(k) exclusion, tuple outputs) and the per-op max/sum roofline
