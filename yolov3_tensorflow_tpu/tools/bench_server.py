@@ -1,0 +1,213 @@
+"""Load-test the dynamic-batching inference server on live hardware.
+
+Round-3 verdict item 4: `--mode serve` shipped with coalescing, a
+compiled-shape ladder and /stats quantiles, but its defaults
+(--batch_timeout_ms 5, power-of-two ladder) were untuned guesses — no
+number existed for p50/p99 latency or sustained img/s under concurrent
+load.  This tool sweeps (batch_timeout_ms x max_batch) with N
+concurrent clients against the REAL server stack and reports a table.
+
+Two drive levels:
+  * default — full HTTP: concurrent clients POST image bytes at
+    /predict; measures the complete request path (HTTP, decode,
+    letterbox, coalesce, device, un-letterbox).  NOTE on a 1-core
+    host the per-request JPEG decode+HTTP dominates and the table
+    measures THIS MACHINE's host ceiling, not the device path (same
+    caveat as tools/bench_input).
+  * ``--direct`` — drives DynamicBatcher.submit() with pre-decoded
+    uint8 letterboxed frames from client threads: isolates the
+    coalescing + shape-ladder + device dispatch path the knobs
+    actually control.
+
+Usage:
+  python -m yolov3_tensorflow_tpu.tools.bench_server
+      [--timeouts 1,5,20] [--max_batches 16,64,128] [--clients 64]
+      [--duration 8] [--direct] [--quant] [--checkpoint DIR]
+      [--json OUT.json]
+"""
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import tempfile
+import threading
+import time
+
+
+def _build_engine(quant: bool, checkpoint: str | None):
+    import jax  # noqa: F401  — device init
+    import numpy as np
+
+    from ..config import Config
+    from ..train.trainer import YOLOv3Trainer
+
+    cfg = Config(input_image_size=(416, 416, 3), batch_size=8,
+                 max_boxes=32, num_devices=1, confidence_thresh=0.5,
+                 quant="int8" if quant else "none")
+    trainer = YOLOv3Trainer(cfg, restore=checkpoint is not None,
+                            checkpoint_dir=checkpoint
+                            or tempfile.mkdtemp())
+    if quant:
+        rng = np.random.RandomState(0)
+        calib = np.ascontiguousarray(
+            rng.randint(0, 255, (8, 416, 416, 3), dtype=np.uint8))
+        import jax.numpy as jnp
+        trainer.calibrate(jnp.asarray(calib))
+    return cfg, trainer
+
+
+def _drive_http(server, frame_bytes: bytes, clients: int,
+                duration: float):
+    """N threads in a closed loop posting the same image."""
+    import http.client
+
+    stop = time.perf_counter() + duration
+    lat: list = []
+    done = [0]
+    lock = threading.Lock()
+    errors = [0]
+
+    def worker():
+        conn = http.client.HTTPConnection("127.0.0.1", server.port,
+                                          timeout=30)
+        my_lat = []
+        n = 0
+        while time.perf_counter() < stop:
+            t0 = time.perf_counter()
+            try:
+                conn.request("POST", "/predict", body=frame_bytes,
+                             headers={"Content-Type": "image/jpeg"})
+                r = conn.getresponse()
+                r.read()
+                ok = r.status == 200
+            except Exception:
+                ok = False
+                conn.close()
+                conn = http.client.HTTPConnection(
+                    "127.0.0.1", server.port, timeout=30)
+            my_lat.append((time.perf_counter() - t0) * 1e3)
+            n += 1
+            if not ok:
+                with lock:
+                    errors[0] += 1
+        with lock:
+            lat.extend(my_lat)
+            done[0] += n
+        conn.close()
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=worker) for _ in range(clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    return lat, done[0], errors[0], dt
+
+
+def _drive_direct(batcher, frame, clients: int, duration: float):
+    """N threads in a closed loop on DynamicBatcher.submit()."""
+    stop = time.perf_counter() + duration
+    lat: list = []
+    done = [0]
+    lock = threading.Lock()
+
+    def worker():
+        my_lat = []
+        n = 0
+        while time.perf_counter() < stop:
+            t0 = time.perf_counter()
+            batcher.submit(frame).result(timeout=60)
+            my_lat.append((time.perf_counter() - t0) * 1e3)
+            n += 1
+        with lock:
+            lat.extend(my_lat)
+            done[0] += n
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=worker) for _ in range(clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    return lat, done[0], 0, dt
+
+
+def _pct(lat, p):
+    lat = sorted(lat)
+    return lat[min(len(lat) - 1, int(p / 100 * len(lat)))] if lat else 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--timeouts", default="1,5,20")
+    ap.add_argument("--max_batches", default="16,64,128")
+    ap.add_argument("--clients", type=int, default=64)
+    ap.add_argument("--duration", type=float, default=8.0)
+    ap.add_argument("--direct", action="store_true")
+    ap.add_argument("--quant", action="store_true")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args(argv)
+
+    import numpy as np
+    from PIL import Image
+
+    from ..infer.server import (DetectionEngine, DynamicBatcher,
+                                InferenceServer)
+
+    cfg, trainer = _build_engine(args.quant, args.checkpoint)
+    rng = np.random.RandomState(0)
+    frame = rng.randint(0, 255, (416, 416, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(frame).save(buf, "JPEG", quality=90)
+    frame_bytes = buf.getvalue()
+
+    rows = []
+    for mb in [int(v) for v in args.max_batches.split(",")]:
+        for to in [float(v) for v in args.timeouts.split(",")]:
+            if args.direct:
+                engine = DetectionEngine(cfg, trainer.predict)
+                b = DynamicBatcher(engine, (416, 416), max_batch=mb,
+                                   batch_timeout_ms=to)
+                b.start()
+                b.warmup()
+                lat, n, errs, dt = _drive_direct(
+                    b, frame, args.clients, args.duration)
+                b.stop()
+            else:
+                srv = InferenceServer(cfg, trainer.predict,
+                                      port=0, max_batch=mb,
+                                      batch_timeout_ms=to)
+                srv.start(warmup=True)
+                try:
+                    lat, n, errs, dt = _drive_http(
+                        srv, frame_bytes, args.clients, args.duration)
+                finally:
+                    srv.stop()
+            row = {
+                "max_batch": mb, "batch_timeout_ms": to,
+                "img_s": round(n / dt, 1),
+                "p50_ms": round(_pct(lat, 50), 2),
+                "p90_ms": round(_pct(lat, 90), 2),
+                "p99_ms": round(_pct(lat, 99), 2),
+                "requests": n, "errors": errs,
+                "clients": args.clients,
+                "mode": "direct" if args.direct else "http",
+                "quant": bool(args.quant),
+            }
+            rows.append(row)
+            print(f"max_batch={mb:4d} timeout={to:5.1f}ms  "
+                  f"{row['img_s']:8.1f} img/s  p50={row['p50_ms']:7.2f} "
+                  f"p90={row['p90_ms']:7.2f} p99={row['p99_ms']:7.2f} "
+                  f"ms  ({n} reqs, {errs} errs)")
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(rows, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

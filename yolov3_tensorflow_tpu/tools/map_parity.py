@@ -41,11 +41,161 @@ def _score(cfg, forward, ds):
     return score_dataset(cfg, forward, ds)
 
 
+def synth_label_file(cfg, forward, ds, out_path: str,
+                     top_k: int | None = None) -> int:
+    """Self-labeling: write a label.txt whose ground truth is the
+    model's OWN detections (all of them by default).
+
+    This makes the parity/quant gates self-executing in a fresh tree
+    (round-3 verdict item 5): scored against its own labels the
+    generating model lands mAP = 1.0 by construction (every detection
+    it emits IS a ground truth), so the |delta| gate measures pure
+    cross-framework (or cross-precision) fidelity of the full decode +
+    NMS + evaluator stack with CONFIDENT detections — no trained
+    checkpoint, no TPU, minutes on CPU.
+
+    The label lines invert data.loader.transform_labels EXACTLY (the
+    same linear letterbox-ratio map, no clipping — boxes hanging past
+    the frame roundtrip bit-faithfully), written in the reference's
+    normalized ``name cx cy w h cls`` format (file_util.py:16-35).
+    The scoring Config must carry ``max_boxes`` >= the densest
+    image's detection count or the Dataset pad will drop GT."""
+    from ..data.loader import transform_labels  # noqa: F401 — inverse of
+    from ..infer.evaluator import detections_to_eval_format
+    from ..infer.postprocess import YOLOv3PostProcessor
+    from PIL import Image
+
+    post = YOLOv3PostProcessor(cfg)
+    dh, dw = cfg.input_image_size[0], cfg.input_image_size[1]
+    lines, seen = [], set()
+    for batch in ds.batches(repeat=False):
+        heads = forward(batch)
+        per_image = post.process(heads)
+        for path, head_boxes in zip(batch.paths, per_image):
+            if path in seen:
+                continue
+            seen.add(path)
+            # post.process yields NORMALIZED letterbox-frame corners
+            rows = detections_to_eval_format(head_boxes)
+            if len(rows) == 0:
+                continue
+            rows = rows[np.argsort(-rows[:, 4])]
+            if top_k:
+                rows = rows[:top_k]
+            with Image.open(path) as im:
+                sw, sh = im.size
+            # exact inverse of transform_labels' ratio map
+            src_over_dst = np.array([sh / dh, sw / dw])
+            ratio_wh = src_over_dst[::-1] / src_over_dst.max()  # [w,h]
+            cx = (rows[:, 0] + rows[:, 2]) / 2
+            cy = (rows[:, 1] + rows[:, 3]) / 2
+            bw = rows[:, 2] - rows[:, 0]
+            bh = rows[:, 3] - rows[:, 1]
+            cx = (cx - (1.0 - ratio_wh[0]) / 2.0) / ratio_wh[0]
+            cy = (cy - (1.0 - ratio_wh[1]) / 2.0) / ratio_wh[1]
+            bw, bh = bw / ratio_wh[0], bh / ratio_wh[1]
+            parts = [os.path.basename(path)]
+            for j in range(len(rows)):
+                if bw[j] <= 0 or bh[j] <= 0:
+                    continue
+                parts += [f"{v:.9f}" for v in
+                          (cx[j], cy[j], bw[j], bh[j])] \
+                    + [str(int(rows[j, 5]))]
+            if len(parts) > 1:
+                lines.append(" ".join(parts))
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return len(lines)
+
+
+def self_labeled_setup(images: int = 0, class_num: int = 13, **kw):
+    """Build the self-labeled gate fixture: a deterministic fresh
+    trainer whose CONF+CLASS head channels are amplified (trained-like
+    score spread, see below), a label file generated from its own
+    detections over the reference sample, and the Dataset over it.
+    Returns ``(cfg, trainer, ds)`` ready for scoring.
+
+    Score-spread rationale: a raw random init emits near-CONSTANT
+    scores (objectness sigmoid(~0), classes ~uniform) — thousands of
+    detections tie at ~0.04 and AP degenerates to #GT/#dets no matter
+    what the labels say.  Amplifying only the conf+class kernel
+    columns (x10) spreads scores like a trained model's while leaving
+    the COORDINATE channels at init scale, so boxes stay anchor-shaped
+    at cell centers instead of exp-clamp whole-image degenerates.
+
+    Gate defaults baked in: confidence 0.5 (with the spread this keeps
+    candidates far from the NMS top_k budget — no overflow truncation
+    to disagree about across frameworks/precisions), max_boxes 160 >=
+    every detection (GT == the full detection set, so the generator
+    scores mAP = 1.0 exactly), f32 compute (an untrained model's
+    scores cluster near threshold; bf16's ~0.4% logit rounding would
+    flip marginal candidates and drown the parity signal — measured
+    4.03 mAP points of pure precision noise at bf16)."""
+    import tempfile
+
+    from ..config import Config
+    from ..data.loader import Dataset
+    from ..train.trainer import YOLOv3Trainer
+
+    kw.setdefault("confidence_thresh", 0.5)
+    kw.setdefault("max_boxes", 160)
+    kw.setdefault("compute_dtype", "float32")
+    cfg = Config(class_num=class_num, batch_size=4,
+                 test_label_path=f"{SAMPLE}/label.txt",
+                 test_set_dir=f"{SAMPLE}/images", **kw)
+    trainer = YOLOv3Trainer(cfg, restore=False,
+                            checkpoint_dir=tempfile.mkdtemp())
+    params = dict(trainer.state.params)
+    stride = 5 + cfg.class_num  # [t_xy t_wh conf classes...]
+    for name, aboxes in zip(("head_out_8", "head_out_16",
+                             "head_out_32"), cfg.anchor_boxes):
+        sub = dict(params[name])
+        mask = np.ones(len(aboxes) * stride, np.float32)
+        for b in range(len(aboxes)):
+            mask[b * stride + 4: (b + 1) * stride] = 10.0
+        sub["kernel"] = np.asarray(sub["kernel"]) * mask
+        params[name] = sub
+    trainer.state = trainer.state.replace(params=params)
+
+    label_path = cfg.test_label_path
+    if images:
+        with open(cfg.test_label_path) as f:
+            head = [ln for ln in f if ln.strip()][:images]
+        label_path = os.path.join(tempfile.mkdtemp(), "subset.txt")
+        with open(label_path, "w") as f:
+            f.writelines(head)
+    ds0 = Dataset(cfg, label_path, cfg.test_set_dir, is_test=True,
+                  shuffle=False)
+    synth = os.path.join(tempfile.mkdtemp(), "selflabel.txt")
+    n = synth_label_file(cfg, lambda b: trainer.predict(b.images),
+                         ds0, synth)
+    print(f"self-labeled {n} images from the fresh model's "
+          f"detections -> {synth}")
+    assert n >= 2, "self-labeling produced <2 labeled images"
+    cfg = Config(class_num=class_num, batch_size=4,
+                 test_label_path=synth,
+                 test_set_dir=f"{SAMPLE}/images", **kw)
+    ds = Dataset(cfg, synth, cfg.test_set_dir, is_test=True,
+                 shuffle=False)
+    return cfg, trainer, ds
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint", default="models/resnet-18-radam-aug-13c")
     p.add_argument("--report", default="PARITY_MAP.md",
                    help="write the measurement report here ('' = skip)")
+    p.add_argument("--self_labeled", action="store_true",
+                   help="no checkpoint needed: score both frameworks "
+                        "against the fresh model's own top detections "
+                        "(see synth_label_file) — the gate every suite "
+                        "run can execute")
+    p.add_argument("--input_size", default=None,
+                   help="HxW override (self-labeled mode; smaller is "
+                        "faster on CPU)")
+    p.add_argument("--images", type=int, default=0,
+                   help="limit to the first N sample images "
+                        "(self-labeled mode)")
     a = p.parse_args(argv)
 
     import jax
@@ -67,16 +217,24 @@ def main(argv=None):
     from ..data.loader import Dataset
     from ..train.trainer import YOLOv3Trainer
 
-    cfg = Config(class_num=13, batch_size=4,
-                 test_label_path=f"{SAMPLE}/label.txt",
-                 test_set_dir=f"{SAMPLE}/images")
-    trainer = YOLOv3Trainer(cfg, restore=True, checkpoint_dir=a.checkpoint)
-    step = int(trainer.state.step)
-    assert step > 0, f"no checkpoint restored from {a.checkpoint}"
-    print(f"restored step {step} from {a.checkpoint}")
-
-    ds = Dataset(cfg, cfg.test_label_path, cfg.test_set_dir, is_test=True,
-                 shuffle=False)
+    kw = {}
+    if a.input_size:
+        h, w = (int(v) for v in a.input_size.split("x"))
+        kw["input_image_size"] = (h, w, 3)
+    if a.self_labeled:
+        cfg, trainer, ds = self_labeled_setup(images=a.images, **kw)
+        step = 0
+    else:
+        cfg = Config(class_num=13, batch_size=4,
+                     test_label_path=f"{SAMPLE}/label.txt",
+                     test_set_dir=f"{SAMPLE}/images", **kw)
+        trainer = YOLOv3Trainer(cfg, restore=True,
+                                checkpoint_dir=a.checkpoint)
+        step = int(trainer.state.step)
+        assert step > 0, f"no checkpoint restored from {a.checkpoint}"
+        print(f"restored step {step} from {a.checkpoint}")
+        ds = Dataset(cfg, cfg.test_label_path, cfg.test_set_dir,
+                     is_test=True, shuffle=False)
 
     # ---- our framework's number (run.py --mode test path) ----------- #
     ours = _score(cfg, lambda b: trainer.predict(b.images), ds)
@@ -101,9 +259,17 @@ def main(argv=None):
 
     delta = abs(ours["mAP"] - theirs["mAP"])
     ok = delta <= 0.005  # the gate is 0.5 mAP POINTS
+    if a.self_labeled:
+        # scored against its own labels the generating model must be
+        # near-perfect — a low number means the self-labeling or the
+        # scoring path itself broke, not a parity issue
+        ok = ok and ours["mAP"] >= 0.9
     line = (f"|delta| = {delta * 100:.2f} mAP points -> "
             f"{'PASS' if ok else 'FAIL'} (gate: 0.5)")
     print(line)
+
+    if a.self_labeled and a.report == "PARITY_MAP.md":
+        a.report = ""  # never overwrite the trained-run report
 
     if a.report:
         with open(a.report, "w") as f:

@@ -35,6 +35,15 @@ def main(argv=None):
     p.add_argument("--ema_decay", type=float, default=0.0,
                    help="train with a weight EMA and gate on the SHADOW "
                         "weights (Config.ema_decay semantics)")
+    # beyond-parity loss variants, end-to-end: the oracle tests pin
+    # their math (tests/test_loss.py); these flags demonstrate they
+    # TRAIN (round-3 verdict item 8)
+    p.add_argument("--gaussian_yolo", action="store_true",
+                   help="train with the Gaussian-YOLO head/loss")
+    p.add_argument("--giou_loss", action="store_true",
+                   help="train with GIOU coordinate loss")
+    p.add_argument("--mixup", action="store_true",
+                   help="train with detection mixup")
     a = p.parse_args(argv)
 
     from .. import cli
@@ -47,7 +56,8 @@ def main(argv=None):
         test_label_path=a.label_path, test_set_dir=a.image_dir,
         batch_size=a.batch_size, class_num=a.class_num, epoch=a.epochs,
         confidence_thresh=a.confidence_thresh, save_path=a.save_path,
-        ema_decay=a.ema_decay,
+        ema_decay=a.ema_decay, is_gaussian_yolo=a.gaussian_yolo,
+        is_giou_loss=a.giou_loss, is_mixup=a.mixup,
     )
     ckpt = a.checkpoint_dir or tempfile.mkdtemp()
     trainer = YOLOv3Trainer(cfg, restore=False, checkpoint_dir=ckpt)
