@@ -287,12 +287,17 @@ class InferenceServer:
                  port: int = 8000, max_batch: int = 64,
                  batch_timeout_ms: float = 5.0,
                  request_timeout_s: float = 120.0,
-                 model_name: Optional[str] = None):
+                 model_name: Optional[str] = None,
+                 engine: Optional[DetectionEngine] = None):
         self.cfg = cfg
         self.input_hw = (int(cfg.input_image_size[0]),
                          int(cfg.input_image_size[1]))
         self.stats = ServerStats()
-        self.engine = DetectionEngine(cfg, predict_fn)
+        # a caller-supplied engine keeps the jitted NMS cache warm
+        # across server instances (the per-instance jit would otherwise
+        # recompile the whole shape ladder — tools/bench_server sweeps
+        # many configurations over one model)
+        self.engine = engine or DetectionEngine(cfg, predict_fn)
         self.batcher = DynamicBatcher(self.engine, self.input_hw,
                                       max_batch=max_batch,
                                       batch_timeout_ms=batch_timeout_ms,

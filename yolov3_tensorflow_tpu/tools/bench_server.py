@@ -166,10 +166,13 @@ def main(argv=None):
     frame_bytes = buf.getvalue()
 
     rows = []
+    # ONE engine across every configuration: its jitted NMS cache
+    # holds the compiled shape ladder, so each config pays zero
+    # recompilation (the ladder shapes are shared)
+    engine = DetectionEngine(cfg, trainer.predict)
     for mb in [int(v) for v in args.max_batches.split(",")]:
         for to in [float(v) for v in args.timeouts.split(",")]:
             if args.direct:
-                engine = DetectionEngine(cfg, trainer.predict)
                 b = DynamicBatcher(engine, (416, 416), max_batch=mb,
                                    batch_timeout_ms=to)
                 b.start()
@@ -180,7 +183,8 @@ def main(argv=None):
             else:
                 srv = InferenceServer(cfg, trainer.predict,
                                       port=0, max_batch=mb,
-                                      batch_timeout_ms=to)
+                                      batch_timeout_ms=to,
+                                      engine=engine)
                 srv.start(warmup=True)
                 try:
                     lat, n, errs, dt = _drive_http(
