@@ -18,6 +18,15 @@ Two drive levels:
     uint8 letterboxed frames from client threads: isolates the
     coalescing + shape-ladder + device dispatch path the knobs
     actually control.
+  * ``--sim`` — the REAL DynamicBatcher against a simulated engine
+    whose per-batch service time is the MEASURED device batch-time
+    table (bench.py --infer ladder on one v5e chip).  This exists
+    because THIS environment's tunneled axon relay moves host->device
+    batches at ~25 MB/s with seconds of latency (PERF.md, transfer
+    note) — a live load test here measures the tunnel, not the
+    server.  The sim gives the queueing behavior (p50/p99 vs knobs) a
+    production host with ~10 GB/s DMA would see; production numbers
+    should re-run --direct on real hardware.
 
 Usage:
   python -m yolov3_tensorflow_tpu.tools.bench_server
@@ -135,6 +144,24 @@ def _drive_direct(batcher, frame, clients: int, duration: float):
     return lat, done[0], 0, dt
 
 
+class _SimEngine:
+    """Service-time model from the MEASURED v5e ladder points
+    (bench.py --infer: b64 = 4,382 img/s -> 14.6 ms/batch, b128 =
+    6,085 -> 21.0 ms/batch): t(b) = 8.2 + 0.1*b ms — one serial
+    device, like the real dispatch queue."""
+
+    def __init__(self):
+        import threading
+        self._lock = threading.Lock()
+
+    def __call__(self, images):
+        import numpy as np
+        b = len(images)
+        with self._lock:  # the device runs one batch at a time
+            time.sleep((8.2 + 0.1 * b) / 1e3)
+        return [np.zeros((0, 9)) for _ in range(b)]
+
+
 def _pct(lat, p):
     lat = sorted(lat)
     return lat[min(len(lat) - 1, int(p / 100 * len(lat)))] if lat else 0
@@ -147,6 +174,7 @@ def main(argv=None):
     ap.add_argument("--clients", type=int, default=64)
     ap.add_argument("--duration", type=float, default=8.0)
     ap.add_argument("--direct", action="store_true")
+    ap.add_argument("--sim", action="store_true")
     ap.add_argument("--quant", action="store_true")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--json", default=None)
@@ -158,7 +186,6 @@ def main(argv=None):
     from ..infer.server import (DetectionEngine, DynamicBatcher,
                                 InferenceServer)
 
-    cfg, trainer = _build_engine(args.quant, args.checkpoint)
     rng = np.random.RandomState(0)
     frame = rng.randint(0, 255, (416, 416, 3), dtype=np.uint8)
     buf = io.BytesIO()
@@ -166,10 +193,15 @@ def main(argv=None):
     frame_bytes = buf.getvalue()
 
     rows = []
-    # ONE engine across every configuration: its jitted NMS cache
-    # holds the compiled shape ladder, so each config pays zero
-    # recompilation (the ladder shapes are shared)
-    engine = DetectionEngine(cfg, trainer.predict)
+    if args.sim:
+        args.direct = True
+        engine = _SimEngine()
+    else:
+        cfg, trainer = _build_engine(args.quant, args.checkpoint)
+        # ONE engine across every configuration: its jitted NMS cache
+        # holds the compiled shape ladder, so each config pays zero
+        # recompilation (the ladder shapes are shared)
+        engine = DetectionEngine(cfg, trainer.predict)
     for mb in [int(v) for v in args.max_batches.split(",")]:
         for to in [float(v) for v in args.timeouts.split(",")]:
             if args.direct:
@@ -199,7 +231,8 @@ def main(argv=None):
                 "p99_ms": round(_pct(lat, 99), 2),
                 "requests": n, "errors": errs,
                 "clients": args.clients,
-                "mode": "direct" if args.direct else "http",
+                "mode": ("sim" if args.sim
+                         else "direct" if args.direct else "http"),
                 "quant": bool(args.quant),
             }
             rows.append(row)
