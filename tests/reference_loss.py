@@ -194,8 +194,12 @@ def reference_loss(raw_heads, targets, cfg, image_count=10 ** 9,
                 scale = 2 - twh[0] * twh[1] / (gh * gw)
                 if gauss:
                     # Gaussian YOLO NLL (roadmap README.md:135), same
-                    # residual space as the BCE/MSE pair
-                    sg = sigs[hi][row, col, bb]
+                    # residual space as the BCE/MSE pair; sigma floored
+                    # like the production loss (Config.gaussian_sigma_min
+                    # — the round-4 objectness-starvation fix)
+                    sg = np.maximum(
+                        sigs[hi][row, col, bb],
+                        getattr(cfg, "gaussian_sigma_min", 0.3))
                     ci = np.floor(txy)
                     tf_ = txy - ci
                     pf = np.clip(pred[0:2] - ci, EPS, 1 - EPS)

@@ -196,6 +196,19 @@ class Config:
     # consume the standard decoded layout unchanged.  Mutually exclusive
     # with is_giou_loss (both replace the coordinate pair).
     is_gaussian_yolo: bool = False
+    # Training-side floor on the Gaussian-NLL sigmas.  The NLL is
+    # unbounded below in sigma (0.5*log(2*pi*s^2) -> -inf) and its
+    # gradient grows as delta^2/s^3: with sigma clipped only at
+    # cfg.epsilon the coordinate terms dominate every step's gradient
+    # budget on the shared trunk and the OBJECTNESS head never trains.
+    # Measured on the real 13-class sample overfit gate (round 4):
+    # floor=eps -> mAP 0.0000 (max objectness stuck at 0.10-0.24);
+    # floor=0.1 -> 0.5861 (the NLL still weights coordinates ~50x the
+    # BCE/MSE pair via delta^2/(2 s^2)); floor=0.3 (~5.6x) -> 0.9911,
+    # ABOVE the standard loss's 0.9721 on the same protocol.  The
+    # floor applies to the LOSS only — the decode-side certainty
+    # criterion (1 - mean sigma) stays Choi's.
+    gaussian_sigma_min: float = 0.3
 
     # piecewise LR schedule (configs.py:14-20).  The check_* arrays are the
     # reference's manual LR-range-finding protocol (configs.py:14-15): set

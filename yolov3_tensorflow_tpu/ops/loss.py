@@ -392,7 +392,14 @@ class YOLOv3Loss:
                 # log-ratio for wh), sigma = sigmoid in [eps, 1) from
                 # the resp gather; masked rows sanitized like the
                 # default branch so no NaN leaks through the mask.
-                sig_r = resp[..., 4:8]  # (N,M,4)
+                # Floor sigma at cfg.gaussian_sigma_min: the NLL is
+                # unbounded below in sigma and its 1/s..delta^2/s^3
+                # gradients otherwise starve the objectness head of
+                # trunk capacity (real-sample overfit gate: eps-floor
+                # mAP 0.0000, 0.1 -> 0.5861, 0.3 -> 0.9911 — see
+                # Config.gaussian_sigma_min for the full series).
+                sig_r = jnp.maximum(resp[..., 4:8],
+                                    cfg.gaussian_sigma_min)  # (N,M,4)
                 coord_int = jnp.floor(t_grid[..., 0:2])
                 t_frac = t_grid[..., 0:2] - coord_int
                 p_frac = jnp.clip(resp[..., 0:2] - coord_int,
