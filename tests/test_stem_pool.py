@@ -83,6 +83,28 @@ def test_model_eval_stem_backend_parity():
                                    atol=3e-2, rtol=3e-2)
 
 
+def test_mixnet_resnext_stem_backend_parity():
+    """mixnet-18 and resnext-18 share the flagship's stem chain
+    (conv_bn 3x3/2 -> maxpool -> relu) and, since round 4, engage the
+    same fused Pallas stem via BasicBackbone.stem_pooled_nhwc — model
+    outputs must match the classic path on the same params."""
+    from yolov3_tensorflow_tpu.models.mixnet18 import MixNet18
+    from yolov3_tensorflow_tpu.models.resnext18 import ResNeXt18
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.rand(4, 32, 32, 3).astype(np.float32))
+    for cls in (MixNet18, ResNeXt18):
+        heads = {}
+        for backend in ("xla", "fused"):
+            model = cls(stem_backend=backend, dtype=jnp.bfloat16)
+            variables = model.init(jax.random.PRNGKey(0), x,
+                                   train=False)
+            heads[backend] = model.apply(variables, x, train=False)
+        for a, b in zip(heads["xla"], heads["fused"]):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       atol=3e-2, rtol=3e-2)
+
+
 def test_backward_tie_free_matches_autodiff():
     H, W, C, N = 16, 8, 8, 4
     y = unique_input(H, W, C, N, seed=3).astype(jnp.float32)

@@ -496,6 +496,21 @@ class BasicBackbone(nn.Module):
             param_dtype=self.param_dtype)(stats=(s, q, count))
         return bn_pool_relu(y, inv, shift)
 
+    def stem_pooled_nhwc(self, x, filters, train: bool):
+        """The reference stem chain (conv_bn -> max_pool -> relu) with
+        the fused Pallas superkernel when eligible, returned in NHWC
+        for backbones whose blocks are NHWC-native (mixnet-18,
+        resnext-18 — same stem as resnet-18, mixnet18.py:66-69 /
+        resnext.py:83-86).  The kernel's [H,W,C,N] output pays one
+        transpose here; the flagship instead threads the view into its
+        first residual module (resnet18.py)."""
+        if self.stem_fused_ok(x, train, filters=filters):
+            y = self.stem_conv_bn_pool_relu(x, filters, train)
+            return jnp.transpose(y, (3, 0, 1, 2))
+        net = self.conv_bn(x, filters, train=train, strides=(2, 2))
+        net = self.max_pool(net)
+        return self.activation(net)
+
     def conv_bn_relu(self, x, filters, train: bool = True):
         """conv_bn -> relu (NHWC), on the fused Winograd path when
         eligible (conv with stats epilogue + one materializing apply

@@ -46,9 +46,7 @@ class MixNet18(BasicBackbone):
     @nn.compact
     def __call__(self, x, train: bool = True):
         """(mixnet18.py:66-83) -> (s8, s16, s32)."""
-        net = self.conv_bn(x, 64, train=train, strides=(2, 2))
-        net = self.max_pool(net)
-        net = self.activation(net)
+        net = self.stem_pooled_nhwc(x, 64, train)
 
         net = self._mix_residual_module(net, 64, train=train)
         s8 = self._mix_residual_module(net, 128, train=train, strides=(2, 2))

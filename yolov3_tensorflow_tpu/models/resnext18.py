@@ -74,9 +74,7 @@ class ResNeXt18(BasicBackbone):
     @nn.compact
     def __call__(self, x, train: bool = True):
         """(resnext.py:83-99) -> (s8, s16, s32)."""
-        net = self.conv_bn(x, 64, train=train, strides=(2, 2))
-        net = self.max_pool(net)
-        net = self.activation(net)
+        net = self.stem_pooled_nhwc(x, 64, train)
 
         net = self._inception_residual_module(net, 64, train=train)
         s8 = self._inception_residual_module(net, 128, train=train,
