@@ -20,6 +20,25 @@ This probe A/Bs, on the production expansion shape (104^2 x 144):
   A: jax.grad through lax.conv_general_dilated (the XLA emitter path)
   B: the 9-slice multiply-reduce (values checked against A)
 
+MEASURED (b128, E=144, 20 steps, v5e) — REJECTED:
+
+  | formulation | ms | effective GB/s on the x+dy bytes |
+  |---|---|---|
+  | XLA wgrad emitter | 2.67 | 298 |
+  | 9-slice multiply-reduce | 6.55 | 122 |
+
+XLA does NOT fuse the nine shifted multiply-reduces into one input
+fusion — the padded tensor materializes and the reductions run as
+separate passes (values match the emitter at rel 3e-3, bf16
+accumulation-order noise).  The depthwise-wgrad emitter therefore
+stands as measured; the remaining hypothetical is a Pallas kernel,
+which carries a structural handicap noted here for the record: the
+vertical +/-1 taps need halo rows across row-block boundaries, and
+Mosaic BlockSpecs cannot overlap — the workarounds (RB=1 grids,
+triple-bound x refs, or a pre-pad pass) each cost more than the
+~2x bandwidth deficit they would recover.  Round-4 verdict item 3 is
+closed as "documented, mechanism understood" for this op.
+
 Usage: python experiments/probe_dw_wgrad.py [batch] [E] [steps]
 """
 import sys
