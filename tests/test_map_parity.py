@@ -31,6 +31,20 @@ def test_map_parity_self_labeled(tmp_path):
     assert rc == 0, "self-labeled |delta mAP| exceeded the gate"
 
 
+def test_map_parity_self_labeled_mobilenet(tmp_path):
+    """The gate is backbone-generic (keras_rebuild_for covers all
+    five; the round-4 CLI sweep measured delta 0.00 on every one) —
+    the suite additionally pins the most structurally different
+    backbone.  Also regression-pins the coordinate-channel damping:
+    mobilenet's random trunk drives t_wh into the exp clamp, and
+    without damping 24/118 self-boxes failed their own roundtrip."""
+    from yolov3_tensorflow_tpu.tools.map_parity import main
+    rc = main(["--self_labeled", "--backbone", "mobilenet-v2",
+               "--input_size", "224x288", "--images", "6",
+               "--report", ""])
+    assert rc == 0, "mobilenet self-labeled parity gate failed"
+
+
 def test_quant_gate_self_labeled():
     """int8 PTQ path engages and stays within the adversarial-regime
     gate (see tools/quant_gate.py docstring) — every suite run."""

@@ -60,7 +60,6 @@ def synth_label_file(cfg, forward, ds, out_path: str,
     normalized ``name cx cy w h cls`` format (file_util.py:16-35).
     The scoring Config must carry ``max_boxes`` >= the densest
     image's detection count or the Dataset pad will drop GT."""
-    from ..data.loader import transform_labels  # noqa: F401 — inverse of
     from ..infer.evaluator import detections_to_eval_format
     from ..infer.postprocess import YOLOv3PostProcessor
     from PIL import Image
@@ -108,6 +107,24 @@ def synth_label_file(cfg, forward, ds, out_path: str,
     return len(lines)
 
 
+def keras_rebuild_for(backbone: str):
+    """The layer-by-layer TF2 Keras rebuild class for a backbone
+    (tests/test_parity_e2e.py — the same classes the e2e logits gates
+    use; _transplant is shared across all five)."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    from tests.test_parity_e2e import (_KerasMixNet, _KerasMobileNetV2,
+                                       _KerasReference, _KerasResNet18V2,
+                                       _KerasResNeXt18)
+    return {
+        "resnet-18": _KerasReference,
+        "resnet-18-v2": _KerasResNet18V2,
+        "resnext-18": _KerasResNeXt18,
+        "mixnet-18": _KerasMixNet,
+        "mobilenet-v2": _KerasMobileNetV2,
+    }[backbone]
+
+
 def self_labeled_setup(images: int = 0, class_num: int = 13, **kw):
     """Build the self-labeled gate fixture: a deterministic fresh
     trainer whose CONF+CLASS head channels are amplified (trained-like
@@ -152,6 +169,13 @@ def self_labeled_setup(images: int = 0, class_num: int = 13, **kw):
         sub = dict(params[name])
         mask = np.ones(len(aboxes) * stride, np.float32)
         for b in range(len(aboxes)):
+            # damp the coordinate channels: some backbones' random
+            # trunks drive |t_wh| into the exp clamp, yielding
+            # micro/whole-image boxes whose IOU does not survive the
+            # label file's decimal rounding (mobilenet-v2 measured 24
+            # of 118 self-boxes below IOU 0.5 without this) — at x0.1
+            # every box is near its anchor's size
+            mask[b * stride: b * stride + 4] = 0.1
             mask[b * stride + 4: (b + 1) * stride] = 10.0
         sub["kernel"] = np.asarray(sub["kernel"]) * mask
         params[name] = sub
@@ -196,6 +220,9 @@ def main(argv=None):
     p.add_argument("--images", type=int, default=0,
                    help="limit to the first N sample images "
                         "(self-labeled mode)")
+    p.add_argument("--backbone", default="resnet-18",
+                   help="any of the five backbones — the Keras rebuild "
+                        "and transplant cover them all")
     a = p.parse_args(argv)
 
     import jax
@@ -211,13 +238,13 @@ def main(argv=None):
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))))
-    from tests.test_parity_e2e import _KerasReference, _transplant
+    from tests.test_parity_e2e import _transplant
 
     from ..config import Config
     from ..data.loader import Dataset
     from ..train.trainer import YOLOv3Trainer
 
-    kw = {}
+    kw = {"model_backbone": a.backbone}
     if a.input_size:
         h, w = (int(v) for v in a.input_size.split("x"))
         kw["input_image_size"] = (h, w, 3)
@@ -241,7 +268,7 @@ def main(argv=None):
     print(f"flax (ours)   mAP@0.5 = {ours['mAP']:.4f}")
 
     # ---- the Keras reference rebuild with the SAME weights ---------- #
-    ref = _KerasReference()
+    ref = keras_rebuild_for(cfg.model_backbone)()
     keras_model = ref.build(cfg.input_image_size[:2],
                             cfg.head_channel_nums)
     params = jax.tree.map(np.asarray, trainer.state.params)
