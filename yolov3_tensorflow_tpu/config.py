@@ -298,6 +298,14 @@ class Config:
     # (the contraction fills half the systolic array rows), so module 1
     # stays on direct convolution (r3 per-shape measurements, PERF.md).
     winograd_min_channels: int = 128
+    # grouped-conv algorithm (resnext's mixed-kernel buckets,
+    # backbone/resnext.py:52-62): "grouped" = XLA feature_group_count;
+    # "dense" = one dense conv over a materialized block-diagonal kernel
+    # (models/layers.py BlockDiagConv — same params/checkpoints, G× the
+    # MACs but escapes the measured 2-4%-of-bound utilization hole of
+    # XLA's grouped fusions).  "auto" resolves per the round-5 TPU A/B
+    # (PERF.md).  Depthwise convs are unaffected.
+    grouped_backend: str = "auto"  # auto | grouped | dense
     # stem algorithm: "auto" (default) fuses the stem's BN-apply +
     # 3x3/s2 max-pool + relu into one Pallas kernel with a tie-splitting
     # scatter backward (replaces XLA's select-and-scatter) on TPU train

@@ -78,6 +78,7 @@ class YOLOv3Detector(BasicBackbone):
             dtype=self.dtype, param_dtype=self.param_dtype,
             conv_backend=self.conv_backend,
             stem_backend=self.stem_backend,
+            grouped_backend=self.grouped_backend,
             winograd_min_channels=self.winograd_min_channels,
             quant=self.quant,
             name="backbone")
@@ -126,6 +127,7 @@ def build_detector(cfg: Config, quant: str = "none") -> YOLOv3Detector:
         dtype=jnp.dtype(cfg.compute_dtype),
         conv_backend=cfg.conv_backend,
         stem_backend=cfg.stem_backend,
+        grouped_backend=cfg.grouped_backend,
         winograd_min_channels=cfg.winograd_min_channels,
         quant=quant,
     )

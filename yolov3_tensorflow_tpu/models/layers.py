@@ -246,6 +246,64 @@ class QuantConv(nn.Module):
 QuantConv.__name__ = "Conv"  # share flax's Conv_N name counter
 
 
+class BlockDiagConv(nn.Module):
+    """Grouped conv run as ONE dense conv over a block-diagonal kernel.
+
+    Pure-XLA reformulation of ``feature_group_count=G`` convolution for
+    ResNeXt's grouped buckets (reference backbone/resnext.py:52-62): on
+    this backend XLA's grouped-conv fusions measure at 2-4% of their own
+    roofline bounds (PERF.md round-4 five-backbone audit), while dense
+    convs run near peak.  The dense form pays G× the MACs but escapes the
+    utilization hole when G× < the measured slack.
+
+    Parameters are IDENTICAL to the grouped nn.Conv — kernel shape
+    ``(kh, kw, cin//G, cout)``, auto-name "Conv_N" (shared flax counter) —
+    so the same checkpoints load on either path, and he_normal sees the
+    same fan-in.  The dense ``(kh, kw, cin, cout)`` kernel is materialized
+    per step by an outer product with ``eye(G)``: output channel
+    ``g*og + o`` reads input channels ``g*cg .. (g+1)*cg`` and zeros
+    elsewhere — exactly the grouped-conv contraction (0·x adds exactly 0,
+    so values match the grouped path up to reduction order).  Autodiff
+    through the eye-product slices the dense wgrad back onto the
+    block-diagonal for free.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: str = "SAME"
+    feature_group_count: int = 1
+    kernel_init: Any = nn.initializers.he_normal()
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.feature_group_count
+        cin = x.shape[-1]
+        if cin % g or self.features % g:
+            raise ValueError(f"channels ({cin}->{self.features}) must "
+                             f"divide the group count {g}")
+        cg, og = cin // g, self.features // g
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (*self.kernel_size, cg, self.features), self.param_dtype)
+        k = kernel.astype(self.dtype).reshape(
+            *self.kernel_size, cg, g, og)
+        eye = jnp.eye(g, dtype=self.dtype)
+        # dense[h, w, (d, c), (g, o)] = k[h, w, c, g, o] * eye[d, g]
+        dense = jnp.einsum("hwcgo,dg->hwdcgo", k, eye).reshape(
+            *self.kernel_size, cin, self.features)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), dense,
+            window_strides=tuple(self.strides), padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype)
+
+
+BlockDiagConv.__name__ = "Conv"  # share flax's Conv_N name counter
+
+
 class BasicBackbone(nn.Module):
     """Base module giving all backbones the shared op vocabulary."""
 
@@ -253,6 +311,12 @@ class BasicBackbone(nn.Module):
     param_dtype: Any = jnp.float32
     conv_backend: str = "auto"  # auto | winograd | xla
     stem_backend: str = "auto"  # auto | fused | xla
+    # grouped (1 < G < channels) convs: "grouped" = XLA
+    # feature_group_count; "dense" = one dense conv over a materialized
+    # block-diagonal kernel (BlockDiagConv).  Depthwise convs (G ==
+    # channels) always stay grouped — the dense form there is C× the
+    # MACs against a 1/C-dense mask.  "auto": see _use_dense_grouped.
+    grouped_backend: str = "auto"  # auto | grouped | dense
     # channel floor for the fused winograd chain (see Config)
     winograd_min_channels: int = 128
     # post-training int8 inference (ops/quantize.py): "none" for
@@ -284,6 +348,21 @@ class BasicBackbone(nn.Module):
         # (PERF.md round-2/3 measurement series)
         return False
 
+    def _use_dense_grouped(self, x, filters, feature_group_count) -> bool:
+        """Route a grouped (non-depthwise) conv onto the block-diagonal
+        dense formulation?  "auto" resolves per measurement (PERF.md
+        round-5 resnext A/B)."""
+        g = feature_group_count
+        if g <= 1 or g >= x.shape[-1]:
+            return False  # dense 1x1 groups == depthwise: never
+        if self.grouped_backend == "dense":
+            return True
+        if self.grouped_backend == "grouped":
+            return False
+        # "auto": pending the round-5 TPU A/B, keep the measured-known
+        # grouped path
+        return False
+
     # ------------------------------------------------------------- ops --
     def conv(self, x, filters, kernel_size=(3, 3), strides=(1, 1),
              padding="SAME", use_bias=False, feature_group_count=1):
@@ -308,6 +387,18 @@ class BasicBackbone(nn.Module):
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
                 )(x)
+        if self._use_dense_grouped(x, filters, feature_group_count):
+            assert not use_bias, "dense grouped path is bias-free"
+            return BlockDiagConv(
+                features=filters,
+                kernel_size=tuple(kernel_size),
+                strides=tuple(strides),
+                padding=padding,
+                feature_group_count=feature_group_count,
+                kernel_init=nn.initializers.he_normal(),
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )(x)
         return nn.Conv(
             features=filters,
             kernel_size=tuple(kernel_size),

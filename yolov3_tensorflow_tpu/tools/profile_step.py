@@ -28,7 +28,7 @@ import time
 
 def _flagship(mode: str, batch: int, conv_backend: str,
               stem_backend: str, augment_backend: str = "auto",
-              backbone: str = "resnet-18"):
+              backbone: str = "resnet-18", grouped_backend: str = "auto"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -42,7 +42,8 @@ def _flagship(mode: str, batch: int, conv_backend: str,
                  optimizer="radam", is_augment=True,
                  rectified_coord_num=-1, num_devices=1,
                  conv_backend=conv_backend, stem_backend=stem_backend,
-                 augment_backend=augment_backend, confidence_thresh=0.5)
+                 augment_backend=augment_backend,
+                 grouped_backend=grouped_backend, confidence_thresh=0.5)
     trainer = YOLOv3Trainer(cfg, restore=False,
                             checkpoint_dir=tempfile.mkdtemp())
     rng = np.random.RandomState(0)
@@ -90,6 +91,7 @@ def main(argv=None):
     ap.add_argument("--conv_backend", default="xla")
     ap.add_argument("--stem_backend", default="auto")
     ap.add_argument("--augment_backend", default="auto")
+    ap.add_argument("--grouped_backend", default="auto")
     ap.add_argument("--backbone", default="resnet-18")
     args = ap.parse_args(argv)
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="yolov3_trace_")
@@ -99,7 +101,8 @@ def main(argv=None):
 
     run_steps = _flagship(args.mode, args.batch, args.conv_backend,
                           args.stem_backend, args.augment_backend,
-                          backbone=args.backbone)
+                          backbone=args.backbone,
+                          grouped_backend=args.grouped_backend)
     run_steps(3)  # compile + warmup
     t0 = time.perf_counter()
     run_steps(args.steps)
