@@ -7,6 +7,11 @@ import numpy as np
 from yolov3_tensorflow_tpu.config import Config
 from yolov3_tensorflow_tpu.ops.decoder import YOLOv3Decoder
 from yolov3_tensorflow_tpu.ops.loss import _flat_decode
+import pytest  # noqa: E402
+
+# oracle-gate subset: `python -m pytest tests/ -m quick -q`
+# (decoder implementations agree)
+pytestmark = pytest.mark.quick
 
 
 def test_flat_decode_matches_public_decoder():

@@ -10,6 +10,10 @@ from yolov3_tensorflow_tpu.ops.loss import YOLOv3Loss
 
 from .reference_loss import reference_loss
 
+# oracle-gate subset: `python -m pytest tests/ -m quick -q`
+# (oracle-pinned loss semantics)
+pytestmark = pytest.mark.quick
+
 
 def _mk_cfg(**kw):
     base = dict(input_image_size=(32, 32, 3), max_boxes=3,

@@ -19,6 +19,10 @@ import pytest
 
 tf = pytest.importorskip("tensorflow")
 
+# oracle-gate subset: `python -m pytest tests/ -m quick -q`
+# (self-labeled mAP parity + quant gates)
+pytestmark = pytest.mark.quick
+
 CKPT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "models", "resnet-18-radam-aug-13c")
 
@@ -55,12 +59,14 @@ def test_quant_gate_self_labeled():
 
 def test_map_parity_vs_keras_reference(tmp_path):
     """The production 0.5-point gate on the trained checkpoint —
-    asserted when the checkpoint is present; otherwise the
-    self-labeled gate above already asserted the parity path this
-    suite run (no skip)."""
+    asserted when the checkpoint is present.  A missing (gitignored)
+    checkpoint is an environment precondition, reported as SKIP so
+    suite counts show the trained-checkpoint gate did not run
+    (ADVICE r4: xfail obscured that); the self-labeled gates above
+    still assert the parity path every run."""
     if not os.path.isdir(CKPT):
-        pytest.xfail("trained 13-class checkpoint not present; "
-                     "parity asserted by the self-labeled gate")
+        pytest.skip("trained 13-class checkpoint not present; "
+                    "parity asserted by the self-labeled gate")
     from yolov3_tensorflow_tpu.tools.map_parity import main
     rc = main(["--checkpoint", CKPT,
                "--report", str(tmp_path / "parity.md")])

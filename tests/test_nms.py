@@ -7,6 +7,11 @@ import numpy as np
 
 from yolov3_tensorflow_tpu.config import Config
 from yolov3_tensorflow_tpu.ops.nms import BatchedNMS, greedy_nms
+import pytest  # noqa: E402
+
+# oracle-gate subset: `python -m pytest tests/ -m quick -q`
+# (device NMS vs greedy oracle)
+pytestmark = pytest.mark.quick
 
 
 def oracle_nms(boxes, scores, classes, thresh):

@@ -4,8 +4,14 @@ per-head split by provenance column, keep-flag filtering, and the
 normalized -> target-size rescale (:161-172)."""
 import numpy as np
 
+import pytest
+
 from yolov3_tensorflow_tpu.infer.postprocess import (resize_boxes,
                                                      split_detections)
+
+# oracle-gate subset: `python -m pytest tests/ -m quick -q`
+# (post-process conversion parity)
+pytestmark = pytest.mark.quick
 
 
 def _row(x0, y0, x1, y1, conf, clsp, cls, score, head, keep):

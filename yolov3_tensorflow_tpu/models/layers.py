@@ -602,6 +602,35 @@ class BasicBackbone(nn.Module):
         net = self.max_pool(net)
         return self.activation(net)
 
+    def stem_pool_only_ok(self, x, train: bool, filters: int = 64) -> bool:
+        """Gate for the POOL-ONLY fused stem (resnet-18-v2: conv with no
+        BN/act before the pool, reference backbone/resnet18_v2.py:61-62,
+        so the BN+relu superkernel does not apply — ops/stem_pool.py
+        max_pool_s2 carries -inf padding semantics instead).  Same
+        engagement envelope as :meth:`stem_fused_ok`."""
+        from ..ops.stem_pool import supported
+        if self.stem_backend == "xla":
+            return False
+        h, w = x.shape[1], x.shape[2]
+        shape = (h // 2, w // 2, filters, x.shape[0])
+        if self.stem_backend == "fused":
+            return supported(shape)
+        return (train and jax.default_backend() != "cpu"
+                and jnp.dtype(self.dtype) == jnp.bfloat16
+                and x.shape[0] >= 32 and supported(shape))
+
+    def stem_conv_pool(self, x, filters, train: bool):
+        """The v2 stem chain (conv -> max_pool, resnet18_v2.py:61-62) as:
+        XLA conv emitting the [H,W,C,N] view + the pool-only Pallas
+        kernel.  Returns the pooled feature in the HWCN view."""
+        from ..ops.stem_pool import max_pool_s2, max_pool_s2_eval
+        y = HwcnConv(features=filters, kernel_size=(3, 3), strides=(2, 2),
+                     out_hwcn=True, dtype=self.dtype,
+                     param_dtype=self.param_dtype)(x)
+        if train:
+            return max_pool_s2(y)
+        return max_pool_s2_eval(y)
+
     def conv_bn_relu(self, x, filters, train: bool = True):
         """conv_bn -> relu (NHWC), on the fused Winograd path when
         eligible (conv with stats epilogue + one materializing apply

@@ -51,6 +51,11 @@ from jax.experimental.pallas import tpu as pltpu
 OB = 4   # pooled output rows per forward grid step
 IB = 8   # input rows per backward grid step
 _VMEM_LIMIT = 100 * 1024 * 1024
+# -inf stand-in for the pool-only (no-relu) padding: the compare chain
+# runs in f32 (bf16 predicates don't lower, CLAUDE.md), so any finite
+# bf16 tap beats this.  The fused BN+relu kernel instead 0-pads — exact
+# there ONLY because the trailing relu clamps negative maxima.
+_NEG = -3.0e38
 
 
 def _pick_wb(W, C, N, budget=24e6):
@@ -137,6 +142,109 @@ def _fwd_kernel(ym_ref, yb_ref, rm_ref, rb_ref, scal_ref, out_ref,
             idx_ref[k] = jnp.where(active, code, 9.0).astype(jnp.bfloat16)
 
 
+def _pool_fwd_kernel(ym_ref, yb_ref, rm_ref, rb_ref, out_ref,
+                     *maybe_idx, H, W, C, N, WB, EMIT=True):
+    """Pool-only forward (resnet-18-v2 stem, reference
+    backbone/resnet18_v2.py:61-62: conv WITHOUT BN/act before the
+    pool): p = maxpool_3x3_s2(y).  No BN prologue, no relu epilogue —
+    padding must therefore carry -inf semantics (_NEG) instead of the
+    fused kernel's 0s, and every window is active (codes 0..8, never
+    the 9 = relu-clamped sentinel)."""
+    idx_ref = maybe_idx[0] if EMIT else None
+    w = pl.program_id(0)
+    s = pl.program_id(1)
+    nw = pl.num_programs(0)
+    ns = pl.num_programs(1)
+    TWo = WB // 2
+
+    def yrow(j):
+        """Input row 2*s*OB + j f32; out-of-range rows/cols -> _NEG so
+        padding taps never win the max."""
+        if j < 2 * OB:
+            body, rc = ym_ref[j], rm_ref[j]
+            ok = True
+        else:
+            body, rc = yb_ref[0], rb_ref[0]
+            ok = s < ns - 1  # row H at the last step -> padding
+        body = body.astype(jnp.float32)
+        rc = rc.astype(jnp.float32)
+        body = jnp.where(ok, body, jnp.full_like(body, _NEG))
+        rc = jnp.where(jnp.logical_and(ok, w < nw - 1), rc,
+                       jnp.full_like(rc, _NEG))
+        return body, rc
+
+    for k in range(OB):
+        # pooled row r = s*OB + k <- input rows 2r..2r+2 = j 2k..2k+2
+        cur = None
+        code = None
+        for a in range(3):
+            body, rc = yrow(2 * k + a)
+            E, O = _ev_od(body, TWo, C, N)
+            Enext = jnp.concatenate([E[1:], rc], axis=0)  # cols 2t+2
+            for b, tap in ((0, E), (1, O), (2, Enext)):
+                if cur is None:
+                    # tap (0,0) is always in-range: row 2r <= H-2,
+                    # col 2t <= W-2 — the code never lands on padding
+                    cur = tap
+                    if EMIT:
+                        code = jnp.zeros((TWo, C, N), jnp.float32)
+                else:
+                    if EMIT:
+                        # strict > keeps the FIRST tap on ties
+                        better = tap > cur
+                        code = jnp.where(better, float(a * 3 + b), code)
+                    cur = jnp.maximum(cur, tap)
+        out_ref[k] = cur.astype(jnp.bfloat16)
+        if EMIT:
+            idx_ref[k] = code.astype(jnp.bfloat16)
+
+
+def _load_pooled(m, s, w, dpm_ref, dpt_ref, ixm_ref, ixt_ref,
+                 dpl_ref, dplt_ref, ixl_ref, ixlt_ref):
+    """(dp, idx) f32 for window row r = s*half - 1 + m, m in
+    [0, half], extended with the left-neighbor window col:
+    [TWo+1, C, N].  Invalid rows/cols -> dp 0 / idx 9 (matches no
+    code)."""
+    if m == 0:
+        dp, ix = dpt_ref[0], ixt_ref[0]
+        dpl, ixl = dplt_ref[0], ixlt_ref[0]
+        ok = s > 0
+    else:
+        dp, ix = dpm_ref[m - 1], ixm_ref[m - 1]
+        dpl, ixl = dpl_ref[m - 1], ixl_ref[m - 1]
+        ok = True
+    edge = w > 0
+    dpe = jnp.concatenate(
+        [jnp.where(edge, dpl, jnp.zeros_like(dpl)), dp],
+        axis=0).astype(jnp.float32)
+    ixe = jnp.concatenate(
+        [jnp.where(edge, ixl, jnp.full_like(ixl, 9.0)), ix],
+        axis=0).astype(jnp.float32)
+    return (jnp.where(ok, dpe, jnp.zeros_like(dpe)),
+            jnp.where(ok, ixe, jnp.full_like(ixe, 9.0)))
+
+
+def _route_row(pool, k, TWo, C, N, WB):
+    """dy input row s*IB + k from the pooled (dp, idx) rows: the window
+    rows containing input row i = s*IB + k, with tap row-offset
+    a = i - 2r: i even -> (m = k/2, a = 2) and (m = k/2 + 1, a = 0);
+    i odd -> (m = (k-1)/2 + 1, a = 1)."""
+    if k % 2 == 0:
+        ms = ((k // 2, 2), (k // 2 + 1, 0))
+    else:
+        ms = (((k - 1) // 2 + 1, 1),)
+    we = jnp.zeros((TWo, C, N), jnp.float32)
+    wo = jnp.zeros((TWo, C, N), jnp.float32)
+    for m, a in ms:
+        dp, ix = pool[m]
+        # even col 2t: tap b=0 of window col t (ix[1:]) and tap
+        # b=2 of window col t-1 (ix[:TWo]); odd col 2t+1: tap b=1
+        we += jnp.where(ix[1:] == float(a * 3 + 0), dp[1:], 0.0)
+        we += jnp.where(ix[:TWo] == float(a * 3 + 2), dp[:TWo], 0.0)
+        wo += jnp.where(ix[1:] == float(a * 3 + 1), dp[1:], 0.0)
+    return jnp.stack([we, wo], axis=1).reshape(WB, C, N)
+
+
 def _bwd_kernel(dpm_ref, dpt_ref, ixm_ref, ixt_ref, pm_ref,
                 dpl_ref, dplt_ref, ixl_ref, ixlt_ref,
                 scal_ref, out_ref, out2_ref, *, H, W, C, N, WB):
@@ -156,30 +264,9 @@ def _bwd_kernel(dpm_ref, dpt_ref, ixm_ref, ixt_ref, pm_ref,
     inv32 = scal_ref[0].reshape(1, C, 1)
     shift32 = scal_ref[1].reshape(1, C, 1)
 
-    def pooled(m):
-        """(dp, idx) f32 for window row r = s*half - 1 + m, m in
-        [0, half], extended with the left-neighbor window col:
-        [TWo+1, C, N].  Invalid rows/cols -> dp 0 / idx 9 (matches no
-        code)."""
-        if m == 0:
-            dp, ix = dpt_ref[0], ixt_ref[0]
-            dpl, ixl = dplt_ref[0], ixlt_ref[0]
-            ok = s > 0
-        else:
-            dp, ix = dpm_ref[m - 1], ixm_ref[m - 1]
-            dpl, ixl = dpl_ref[m - 1], ixl_ref[m - 1]
-            ok = True
-        edge = w > 0
-        dpe = jnp.concatenate(
-            [jnp.where(edge, dpl, jnp.zeros_like(dpl)), dp],
-            axis=0).astype(jnp.float32)
-        ixe = jnp.concatenate(
-            [jnp.where(edge, ixl, jnp.full_like(ixl, 9.0)), ix],
-            axis=0).astype(jnp.float32)
-        return (jnp.where(ok, dpe, jnp.zeros_like(dpe)),
-                jnp.where(ok, ixe, jnp.full_like(ixe, 9.0)))
-
-    pool = [pooled(m) for m in range(half + 1)]
+    pool = [_load_pooled(m, s, w, dpm_ref, dpt_ref, ixm_ref, ixt_ref,
+                         dpl_ref, dplt_ref, ixl_ref, ixlt_ref)
+            for m in range(half + 1)]
 
     # BN reductions over this step's MAIN window rows, main cols only
     # (the left-halo col belongs to the previous chunk); dinv = acc1 /
@@ -195,23 +282,7 @@ def _bwd_kernel(dpm_ref, dpt_ref, ixm_ref, ixt_ref, pm_ref,
         acc1 += jnp.sum(dpa * (pv - shift32), axis=0)
 
     for k in range(IB):
-        # window rows containing input row i = s*IB + k, with the tap
-        # row-offset a = i - 2r: i even -> (m = k/2, a = 2) and
-        # (m = k/2 + 1, a = 0); i odd -> (m = (k-1)/2 + 1, a = 1)
-        if k % 2 == 0:
-            ms = ((k // 2, 2), (k // 2 + 1, 0))
-        else:
-            ms = (((k - 1) // 2 + 1, 1),)
-        we = jnp.zeros((TWo, C, N), jnp.float32)
-        wo = jnp.zeros((TWo, C, N), jnp.float32)
-        for m, a in ms:
-            dp, ix = pool[m]
-            # even col 2t: tap b=0 of window col t (ix[1:]) and tap
-            # b=2 of window col t-1 (ix[:TWo]); odd col 2t+1: tap b=1
-            we += jnp.where(ix[1:] == float(a * 3 + 0), dp[1:], 0.0)
-            we += jnp.where(ix[:TWo] == float(a * 3 + 2), dp[:TWo], 0.0)
-            wo += jnp.where(ix[1:] == float(a * 3 + 1), dp[1:], 0.0)
-        wrow = jnp.stack([we, wo], axis=1).reshape(WB, C, N)
+        wrow = _route_row(pool, k, TWo, C, N, WB)
         out_ref[k] = (wrow * inv32).astype(out_ref.dtype)
     out2_ref[0] += acc0
     out2_ref[1] += acc1
@@ -346,6 +417,164 @@ def _bwd_local(idx, dp, p, inv, shift, interpret=None):
         interpret=interpret,
     )(dp, dp, idx, idx, p, dp, dp, idx, idx, scal)
     return dy, s2
+
+
+def _pool_bwd_kernel(dpm_ref, dpt_ref, ixm_ref, ixt_ref,
+                     dpl_ref, dplt_ref, ixl_ref, ixlt_ref,
+                     out_ref, *, H, W, C, N, WB):
+    """Pool-only backward: dy by routing dp through the stored argmax
+    codes — no BN scalars, no (dshift, dinv) reductions."""
+    w = pl.program_id(0)
+    s = pl.program_id(1)
+    half = IB // 2
+    TWo = WB // 2
+    pool = [_load_pooled(m, s, w, dpm_ref, dpt_ref, ixm_ref, ixt_ref,
+                         dpl_ref, dplt_ref, ixl_ref, ixlt_ref)
+            for m in range(half + 1)]
+    for k in range(IB):
+        out_ref[k] = _route_row(pool, k, TWo, C, N, WB).astype(
+            out_ref.dtype)
+
+
+def _pool_fwd(y, interpret=None, emit_codes=True):
+    from .partition import get_op_mesh, lane_sharded_call
+    if get_op_mesh() is not None:
+        def invoke(ly):
+            return _pool_fwd_local(ly, interpret=interpret,
+                                   emit_codes=emit_codes)
+
+        return lane_sharded_call(invoke, [y], [True],
+                                 [4, 4] if emit_codes else [4])
+    return _pool_fwd_local(y, interpret=interpret, emit_codes=emit_codes)
+
+
+def _pool_fwd_local(y, interpret=None, emit_codes=True):
+    H, W, C, N = y.shape
+    wb = _pick_wb(W, C, N)
+    nw = W // wb
+    ns = (H // 2) // OB
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    p_spec = pl.BlockSpec((OB, wb // 2, C, N),
+                          lambda wi, si: (si, wi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    p_shape = jax.ShapeDtypeStruct((H // 2, W // 2, C, N), jnp.bfloat16)
+    return pl.pallas_call(
+        functools.partial(_pool_fwd_kernel, H=H, W=W, C=C, N=N, WB=wb,
+                          EMIT=emit_codes),
+        grid=(nw, ns),
+        in_specs=[
+            pl.BlockSpec((2 * OB, wb, C, N),
+                         lambda wi, si: (si, wi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, wb, C, N),
+                         lambda wi, si: (jnp.minimum(si * OB + OB,
+                                                     H // 2 - 1),
+                                         wi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * OB, 1, C, N),
+                         lambda wi, si: (si, jnp.minimum((wi + 1) * wb,
+                                                         W - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 1, C, N),
+                         lambda wi, si: (jnp.minimum(si * OB + OB,
+                                                     H // 2 - 1),
+                                         jnp.minimum((wi + 1) * wb,
+                                                     W - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(p_spec, p_spec) if emit_codes else p_spec,
+        out_shape=(p_shape, p_shape) if emit_codes else p_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(y, y, y, y)
+
+
+def _pool_bwd(idx, dp, interpret=None):
+    from .partition import get_op_mesh, lane_sharded_call
+    if get_op_mesh() is not None:
+        def invoke(lix, ldp):
+            return _pool_bwd_local(lix, ldp, interpret=interpret)
+
+        return lane_sharded_call(invoke, [idx, dp], [True, True], [4])
+    return _pool_bwd_local(idx, dp, interpret=interpret)
+
+
+def _pool_bwd_local(idx, dp, interpret=None):
+    Ho, Wo, C, N = dp.shape
+    H, W = 2 * Ho, 2 * Wo
+    wb = _pick_wb(W, C, N)
+    nw = W // wb
+    ns = H // IB
+    wbo = wb // 2
+    half = IB // 2
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    VM = pltpu.VMEM
+    pool_main = pl.BlockSpec((half, wbo, C, N),
+                             lambda wi, si: (si, wi, 0, 0),
+                             memory_space=VM)
+    pool_top = pl.BlockSpec((1, wbo, C, N),
+                            lambda wi, si: (jnp.maximum(si * half - 1, 0),
+                                            wi, 0, 0), memory_space=VM)
+    pool_lc = pl.BlockSpec((half, 1, C, N),
+                           lambda wi, si: (si,
+                                           jnp.maximum(wi * wbo - 1, 0),
+                                           0, 0), memory_space=VM)
+    pool_lct = pl.BlockSpec((1, 1, C, N),
+                            lambda wi, si: (jnp.maximum(si * half - 1, 0),
+                                            jnp.maximum(wi * wbo - 1, 0),
+                                            0, 0), memory_space=VM)
+
+    return pl.pallas_call(
+        functools.partial(_pool_bwd_kernel, H=H, W=W, C=C, N=N, WB=wb),
+        grid=(nw, ns),
+        in_specs=[pool_main, pool_top,      # dp
+                  pool_main, pool_top,      # idx
+                  pool_lc, pool_lct,        # dp left halo
+                  pool_lc, pool_lct],       # idx left halo
+        out_specs=pl.BlockSpec((IB, wb, C, N),
+                               lambda wi, si: (si, wi, 0, 0),
+                               memory_space=VM),
+        out_shape=jax.ShapeDtypeStruct((H, W, C, N), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(dp, dp, idx, idx, dp, dp, idx, idx)
+
+
+def max_pool_s2_eval(y):
+    """Inference-mode p = maxpool_3x3_s2(y) on the [H,W,C,N] view, no
+    argmax-code tracking.  Bit-identical to :func:`max_pool_s2`."""
+    return _pool_fwd(y.astype(jnp.bfloat16), emit_codes=False)
+
+
+@jax.custom_vjp
+def max_pool_s2(y):
+    """p = maxpool_3x3_s2(y) on the [H,W,C,N] view (pool-only stem for
+    resnet-18-v2, whose stem conv has no BN/act — reference
+    backbone/resnet18_v2.py:61-62).  Backward routes dp through stored
+    argmax codes: first-in-scan ties, XLA select-and-scatter's
+    convention."""
+    p, _ = _pool_fwd(y.astype(jnp.bfloat16))
+    return p
+
+
+def _pool_vjp_fwd(y):
+    p, idx = _pool_fwd(y.astype(jnp.bfloat16))
+    # y is NOT saved: the backward needs only the codes
+    return p, (idx, jnp.zeros((), y.dtype))
+
+
+def _pool_vjp_bwd(res, dp):
+    idx, ymeta = res
+    dy = _pool_bwd(idx, dp.astype(jnp.bfloat16))
+    return (dy.astype(ymeta.dtype),)
+
+
+max_pool_s2.defvjp(_pool_vjp_fwd, _pool_vjp_bwd)
 
 
 def bn_pool_relu_eval(y, inv, shift):

@@ -58,9 +58,13 @@ def main(argv=None):
         cfg, trainer, ds = self_labeled_setup(
             images=a.images, input_image_size=(h, w, 3))
         results = {}
-        results["bf16"] = _score(
+        # self_labeled_setup forces compute_dtype=float32 (bf16's logit
+        # rounding would drown the parity signal) — label the baseline
+        # honestly as f32, not bf16 (ADVICE r4)
+        base = "f32"
+        results[base] = _score(
             cfg, lambda b: trainer.predict(b.images), ds)["mAP"]
-        print(f"bf16  mAP@0.5 = {results['bf16']:.4f}")
+        print(f"{base}   mAP@0.5 = {results[base]:.4f}")
 
         import dataclasses
         import tempfile
@@ -82,6 +86,7 @@ def main(argv=None):
         print(f"int8  mAP@0.5 = {results['int8']:.4f}")
     else:
         results = {}
+        base = "bf16"
         for label, quant in (("bf16", "none"), ("int8", "int8")):
             cfg = Config(class_num=13, batch_size=4, quant=quant,
                          test_label_path=f"{SAMPLE}/label.txt",
@@ -106,20 +111,23 @@ def main(argv=None):
             results[label] = report["mAP"]
             print(f"{label}  mAP@0.5 = {report['mAP']:.4f}")
 
-    delta = abs(results["int8"] - results["bf16"])
+    delta = abs(results["int8"] - results[base])
     # Self-labeled mode is deliberately ADVERSARIAL for quantization:
     # untrained weights have none of the structure calibration relies
     # on and scores cluster near the threshold, so honest int8 error
     # flips more marginal candidates than it ever does on a trained
     # model (measured: 2.96 points here vs 0.00 on the trained
-    # checkpoint).  The self-gate is 4 points — deterministic setup,
+    # checkpoint).  The self-gate pins that measured 2.96 with ~0.5 of
+    # headroom (3.5 points; was 4.0 — tightened per VERDICT r4 item 6
+    # so a real half-point regression in the quantized path trips the
+    # suite instead of being absorbed).  Deterministic setup,
     # reproducible number; a real quant-path regression (wrong scales,
     # broken requant) lands tens of points past it.  The 0.5-point
     # production claim stays checkpoint-mode's.
-    gate = 0.04 if a.self_labeled else 0.005
+    gate = 0.035 if a.self_labeled else 0.005
     ok = delta <= gate
     if a.self_labeled:
-        ok = ok and results["bf16"] >= 0.99  # self-consistency floor
+        ok = ok and results[base] >= 0.99  # self-consistency floor
     print(f"|delta| = {delta * 100:.2f} mAP points -> "
           f"{'PASS' if ok else 'FAIL'} (gate: {gate * 100:.1f})")
     return 0 if ok else 1

@@ -130,12 +130,17 @@ def roofline_report(rows: list[dict], steps: int,
         if t_us <= 0:
             continue
         occ = fget(r, "occurrences") / steps
-        # xprof rates are per-occurrence averages over total_time;
-        # rate x time recovers the op's counted flops / HBM bytes
+        # rate x time recovers the op's counted flops / HBM bytes.
+        # Use total_SELF_time — the same clock t_us and the
+        # pct_of_bound denominator use — so an op whose total_time
+        # includes child/nested time cannot overstate its own bound
+        # and push pct_of_sum_bound past 100% (ADVICE r4).  For leaf
+        # fusions (every row in this step's traces) self == total and
+        # the recovery is exact (verified on a clean conv, PERF.md).
         flops = fget(r, "model_flop_rate") * 1e9 \
-            * fget(r, "total_time") * 1e-6 / steps
+            * fget(r, "total_self_time") * 1e-6 / steps
         hbm_gb = fget(r, "hbm_bw") * (2 ** 30) \
-            * fget(r, "total_time") * 1e-6 / steps / 1e9
+            * fget(r, "total_self_time") * 1e-6 / steps / 1e9
         t_flop_us = flops / (flop_peak_tflops * 1e12) * 1e6
         t_hbm_us = hbm_gb * 1e9 / (hbm_peak_gbs * 1e9) * 1e6
         # max(): roofline with perfect DMA/MXU overlap.  sum(): the

@@ -32,6 +32,10 @@ def main(argv=None):
     p.add_argument("--checkpoint_dir", default="",
                    help="persist the trained checkpoint here (default: "
                         "temp dir, discarded)")
+    p.add_argument("--backbone", default="resnet-18",
+                   help="backbone to overfit (trained-weights parity "
+                        "runs need non-flagship checkpoints too — "
+                        "VERDICT r4 item 4)")
     p.add_argument("--ema_decay", type=float, default=0.0,
                    help="train with a weight EMA and gate on the SHADOW "
                         "weights (Config.ema_decay semantics)")
@@ -58,6 +62,7 @@ def main(argv=None):
         confidence_thresh=a.confidence_thresh, save_path=a.save_path,
         ema_decay=a.ema_decay, is_gaussian_yolo=a.gaussian_yolo,
         is_giou_loss=a.giou_loss, is_mixup=a.mixup,
+        model_backbone=a.backbone,
     )
     ckpt = a.checkpoint_dir or tempfile.mkdtemp()
     trainer = YOLOv3Trainer(cfg, restore=False, checkpoint_dir=ckpt)
