@@ -77,6 +77,37 @@ def test_stem_kernel_mesh_equivalence(mesh8):
                                    rtol=1e-6, atol=1e-6)
 
 
+def test_pool_only_kernel_mesh_equivalence(mesh8):
+    """max_pool_s2 (resnet-18-v2's pool-only stem): identical forward
+    and gradient on 1 vs 8 devices."""
+    from yolov3_tensorflow_tpu.ops.stem_pool import (max_pool_s2,
+                                                     max_pool_s2_eval)
+    rng = np.random.RandomState(5)
+    y = jnp.asarray(rng.randn(16, 16, 8, 8).astype(np.float32) * 2,
+                    jnp.bfloat16)
+    g = jnp.asarray(rng.randn(8, 8, 8, 8).astype(np.float32))
+
+    def loss(y):
+        return jnp.sum(max_pool_s2(y).astype(jnp.float32) * g)
+
+    set_op_mesh(None)
+    p1 = max_pool_s2(y)
+    e1 = max_pool_s2_eval(y)
+    g1 = jax.grad(loss)(y)
+
+    set_op_mesh(mesh8)
+    ys = _lane_shard(mesh8, y)
+    p8 = jax.jit(max_pool_s2)(ys)
+    e8 = jax.jit(max_pool_s2_eval)(ys)
+    g8 = jax.jit(jax.grad(loss))(ys)
+
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p8))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e8))
+    np.testing.assert_allclose(np.asarray(g1, np.float32),
+                               np.asarray(g8, np.float32),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_winograd_op_mesh_equivalence(mesh8):
     """hconv_bn_act_stats: forward outputs, statistics and all gradients
     match between the unsharded call and the shard_mapped call."""

@@ -359,9 +359,15 @@ class BasicBackbone(nn.Module):
             return True
         if self.grouped_backend == "grouped":
             return False
-        # "auto": pending the round-5 TPU A/B, keep the measured-known
-        # grouped path
-        return False
+        # "auto": per-bucket policy from the round-5 TPU A/B (PERF.md).
+        # All-dense beat all-grouped by 4.75 ms device (84.55 vs 89.30
+        # at b128 train) but the LOW-G buckets regressed: the 9x9 G=4
+        # wgrad ran 2.77 ms dense vs 2.36 grouped (the G× MAC inflation
+        # outgrows the utilization recovery once per-group lane fill
+        # reaches 32+ channels).  Dense pays G× the MACs for ~G× the
+        # MXU lane fill — a win only while fill is the binding limit,
+        # i.e. at high group counts.
+        return feature_group_count >= 8
 
     # ------------------------------------------------------------- ops --
     def conv(self, x, filters, kernel_size=(3, 3), strides=(1, 1),
