@@ -303,8 +303,11 @@ class Config:
     # "dense" = one dense conv over a materialized block-diagonal kernel
     # (models/layers.py BlockDiagConv — same params/checkpoints, G× the
     # MACs but escapes the measured 2-4%-of-bound utilization hole of
-    # XLA's grouped fusions).  "auto" resolves per the round-5 TPU A/B
-    # (PERF.md).  Depthwise convs are unaffected.
+    # XLA's grouped fusions).  "auto" resolves to dense: the round-5
+    # same-session A/B measured train 91.3 vs 97.2 ms/step at b128
+    # (+6.5% img/s), infer a 2% wash (PERF.md round-5; the dense train
+    # program's first remote compile is ~25 min vs ~8, cached after).
+    # Depthwise convs are unaffected.
     grouped_backend: str = "auto"  # auto | grouped | dense
     # stem algorithm: "auto" (default) fuses the stem's BN-apply +
     # 3x3/s2 max-pool + relu into one Pallas kernel with a tie-splitting

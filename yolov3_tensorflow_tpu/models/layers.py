@@ -359,15 +359,15 @@ class BasicBackbone(nn.Module):
             return True
         if self.grouped_backend == "grouped":
             return False
-        # "auto": per-bucket policy from the round-5 TPU A/B (PERF.md).
-        # All-dense beat all-grouped by 4.75 ms device (84.55 vs 89.30
-        # at b128 train) but the LOW-G buckets regressed: the 9x9 G=4
-        # wgrad ran 2.77 ms dense vs 2.36 grouped (the G× MAC inflation
-        # outgrows the utilization recovery once per-group lane fill
-        # reaches 32+ channels).  Dense pays G× the MACs for ~G× the
-        # MXU lane fill — a win only while fill is the binding limit,
-        # i.e. at high group counts.
-        return feature_group_count >= 8
+        # "auto" = dense, from the round-5 same-session TPU A/B
+        # (PERF.md round-5): resnext-18 b128 train 91.3 ms (dense) vs
+        # 94.1 (mixed G>=8) vs 97.2 (grouped) — device 84.55 vs 89.30
+        # traced; infer is a 2% wash (4,535/4,636/4,550 img/s).  Dense
+        # pays G× the MACs but escapes the grouped fusions' 2-4%-of-
+        # bound utilization hole (per-group MXU lane fill 4-8/128).
+        # Caveat: the dense TRAIN program's remote compile took ~25 min
+        # vs ~8 grouped (first compile per shape; cached after).
+        return True
 
     # ------------------------------------------------------------- ops --
     def conv(self, x, filters, kernel_size=(3, 3), strides=(1, 1),

@@ -39,7 +39,10 @@ def _measure(mode: str, batch: int, steps: int, **backends) -> float:
     run = _flagship(mode, batch,
                     backends.get("conv_backend", "xla"),
                     backends.get("stem_backend", "xla"),
-                    backends.get("augment_backend", "xla"))
+                    backends.get("augment_backend", "xla"),
+                    backbone=backends.get("backbone", "resnet-18"),
+                    grouped_backend=backends.get("grouped_backend",
+                                                 "auto"))
     run(3)  # compile + warmup
     t0 = time.perf_counter()
     run(steps)
@@ -146,6 +149,30 @@ def run_audit(batch: int = 128, steps: int = 10,
           "fused", lambda: _measure("train", batch, steps,
                                     stem_backend="auto",
                                     augment_backend="fused"))
+    # 5. resnext grouped-conv formulation (round-5: dense block-diagonal
+    #    +6.5% train; NOTE the dense train program's first remote
+    #    compile measured ~25 min — budget for it)
+    check("resnext grouped_backend", "dense",
+          "dense", lambda: _measure("train", batch, steps,
+                                    stem_backend="auto",
+                                    augment_backend="auto",
+                                    backbone="resnext-18",
+                                    grouped_backend="dense"),
+          "grouped", lambda: _measure("train", batch, steps,
+                                      stem_backend="auto",
+                                      augment_backend="auto",
+                                      backbone="resnext-18",
+                                      grouped_backend="grouped"))
+    # 6. resnet-18-v2 pool-only stem kernel (round-5 A/B, PERF.md)
+    check("v2 train stem_backend", "fused",
+          "fused", lambda: _measure("train", batch, steps,
+                                    stem_backend="fused",
+                                    augment_backend="auto",
+                                    backbone="resnet-18-v2"),
+          "xla", lambda: _measure("train", batch, steps,
+                                  stem_backend="xla",
+                                  augment_backend="auto",
+                                  backbone="resnet-18-v2"))
     if not skip_quant:
         # 4. int8 PTQ regime boundaries (win at b64, wash at b128)
         check("infer quant @ b64", "int8",
