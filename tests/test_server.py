@@ -276,3 +276,37 @@ def test_stats_endpoint(server_and_trainer):
     with pytest.raises(urllib.error.HTTPError):
         urllib.request.urlopen(
             f"http://127.0.0.1:{srv.port}/nope", timeout=30)
+
+
+def test_sim_engine_measured_table():
+    """--sim's service-time model is the MEASURED ladder (VERDICT r4
+    item 5 replaced the 2-point linear fit): exact lookup on measured
+    shapes, linear interpolation between them, edge clamping."""
+    from yolov3_tensorflow_tpu.tools.bench_server import _SimEngine
+    eng = _SimEngine({"1": 5.0, "4": 6.0, "64": 15.0, "128": 21.0})
+    assert eng.service_ms(1) == 5.0
+    assert eng.service_ms(4) == 6.0
+    assert eng.service_ms(128) == 21.0
+    # between measured points: linear
+    assert abs(eng.service_ms(96) - 18.0) < 1e-9
+    # clamped at the edges
+    assert eng.service_ms(256) == 21.0
+    t0 = time.perf_counter()
+    out = eng([None] * 4)
+    dt = (time.perf_counter() - t0) * 1e3
+    assert len(out) == 4 and dt >= 5.0
+
+
+def test_sim_ladder_json_committed():
+    """The committed measured ladder drives --sim without TPU access:
+    both precision tables present, covering the compiled shape ladder."""
+    import os
+
+    from yolov3_tensorflow_tpu.tools.bench_server import LADDER_JSON
+    assert os.path.exists(LADDER_JSON), LADDER_JSON
+    with open(LADDER_JSON) as f:
+        tables = json.load(f)
+    for key in ("bf16", "int8"):
+        pts = tables[key]
+        assert {"1", "2", "4", "8", "16", "32", "64", "128"} <= set(pts)
+        assert all(float(v) > 0 for v in pts.values())

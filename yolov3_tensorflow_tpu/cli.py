@@ -407,9 +407,13 @@ def main(argv=None):
                    help="serve mode: request-coalescing batch cap "
                         "(compiled shape ladder = powers of two up to "
                         "this; b64 is the measured v5e serving peak)")
-    p.add_argument("--batch_timeout_ms", type=float, default=5.0,
+    p.add_argument("--batch_timeout_ms", type=float, default=2.0,
                    help="serve mode: max wait after the first queued "
-                        "request before dispatching a partial batch")
+                        "request before dispatching a partial batch "
+                        "(2 ms from the measured-ladder sim, round 5: "
+                        "5 ms sits on a heavy-load queue resonance — "
+                        "p99 150-850 ms — while 2 ms holds both the "
+                        "light-load p50 and the heavy-load p99)")
     p.add_argument("--no_warmup", action="store_true",
                    help="serve mode: skip compiling the batch-shape "
                         "ladder before opening the socket")

@@ -176,7 +176,7 @@ class DynamicBatcher:
     shape ladder, and runs the engine once for the whole batch."""
 
     def __init__(self, engine, input_hw: Tuple[int, int],
-                 max_batch: int = 64, batch_timeout_ms: float = 5.0,
+                 max_batch: int = 64, batch_timeout_ms: float = 2.0,
                  stats: Optional[ServerStats] = None):
         self.engine = engine
         self.input_hw = tuple(input_hw)
@@ -285,7 +285,7 @@ class InferenceServer:
 
     def __init__(self, cfg: Config, predict_fn, host: str = "127.0.0.1",
                  port: int = 8000, max_batch: int = 64,
-                 batch_timeout_ms: float = 5.0,
+                 batch_timeout_ms: float = 2.0,
                  request_timeout_s: float = 120.0,
                  model_name: Optional[str] = None,
                  engine: Optional[DetectionEngine] = None):

@@ -189,28 +189,58 @@ class _SimEngine:
         return [np.zeros((0, 9)) for _ in range(b)]
 
 
-def _measure_ladder(quant: bool, checkpoint, reps: int = 30):
-    """Measure t(b) on the real device for every ladder shape.  Drives
-    the actual serving forward (DetectionEngine -> trainer.predict ->
-    device NMS -> host numpy), syncing on the returned arrays; reports
-    the MIN over reps (the queueing-relevant service time — medians
-    absorb relay jitter that a production host does not have)."""
+def _measure_ladder(quant: bool, checkpoint, reps: int = 30,
+                    chain: int = 10):
+    """Measure DEVICE service time t(b) for every ladder shape.
+
+    The serving forward (model + decode + device NMS, the exact
+    computation DetectionEngine dispatches) is jitted and timed with
+    the batch ALREADY staged on device, syncing once per measurement
+    via a scalar fetch, with ``chain`` dispatches per timing so the
+    relay's ~3 ms per-dispatch overhead amortizes out.  Feeding numpy
+    frames through DetectionEngine here would measure this
+    environment's ~25 MB/s axon tunnel instead (b=64 is 33 MB ->
+    ~1,050 ms of pure transfer; CLAUDE.md relay note) — production
+    hosts move H2D at ~10 GB/s, adding ~0.1 ms/img on top of these
+    numbers.  MIN over reps: the queueing-relevant service time."""
+    import jax
+    import jax.numpy as jnp
     import numpy as np
 
-    from ..infer.server import DetectionEngine
+    from ..models.detector import build_detector
+    from ..ops.nms import BatchedNMS
+    from ..train.trainer import _normalize_images
 
     cfg, trainer = _build_engine(quant, checkpoint)
-    engine = DetectionEngine(cfg, trainer.predict)
+    nms = BatchedNMS(cfg)
+    model = build_detector(cfg, quant="int8") if quant else trainer.model
+
+    @jax.jit
+    def infer(state, qvars, images):
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        if quant:
+            variables["quant"] = qvars
+        return nms(model.apply(variables, _normalize_images(images),
+                               train=False))
+
     rng = np.random.RandomState(0)
     table = {}
     for b in (1, 2, 4, 8, 16, 32, 64, 96, 128):
-        frames = rng.randint(0, 255, (b, 416, 416, 3), dtype=np.uint8)
-        engine(frames)  # compile
-        best = float("inf")
-        for _ in range(reps):
+        images = jnp.asarray(rng.randint(0, 255, (b, 416, 416, 3),
+                                         dtype=np.uint8))
+        qvars = trainer.calibrate(images) if quant else 0
+        _ = float(jnp.sum(infer(trainer.state, qvars, images)))
+
+        def once():
             t0 = time.perf_counter()
-            engine(frames)
-            best = min(best, (time.perf_counter() - t0) * 1e3)
+            for _ in range(chain):
+                d = infer(trainer.state, qvars, images)
+            _ = float(jnp.sum(d))
+            return (time.perf_counter() - t0) * 1e3 / chain
+
+        once()  # warm every cache
+        best = min(once() for _ in range(max(1, reps // chain)))
         table[str(b)] = round(best, 3)
         print(f"b={b:4d}  t={best:7.2f} ms  "
               f"({b / best * 1e3:7.0f} img/s)", flush=True)
