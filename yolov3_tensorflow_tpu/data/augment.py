@@ -123,9 +123,17 @@ def augment_batch(rng, images):
     gauss_on = (noise_type == 1).astype(dtype)[:, None, None, None]
     x = images + gauss_on * RANDOM_NORMAL * jax.random.normal(
         k_gauss, images.shape, dtype)
-    sel = jax.random.bernoulli(k_sel, RANDOM_NORMAL, images.shape[:3]) \
-        .astype(dtype)
-    salt = jax.random.bernoulli(k_salt, 0.5, images.shape[:3]).astype(dtype)
+    # salt-pepper byte diet (round-5): ONE u32 field per pixel yields
+    # both masks — sel = u < round(p * 2^32) (p exact to 1e-11 of the
+    # reference's bernoulli(0.01), dataset_util.py:36-43) and salt =
+    # bit 0 (exactly Bernoulli(0.5); independent of sel to ~1e-8 —
+    # only read where sel fires).  Replaces two bernoulli draws:
+    # halves the mask threefry work + HBM round-trips.  The bit-stream
+    # differs from the two-draw form (distributions identical), same
+    # contract latitude the fused backend already uses.
+    u = jax.random.bits(k_sel, images.shape[:3], dtype=jnp.uint32)
+    sel = (u < int(round(RANDOM_NORMAL * 2 ** 32))).astype(dtype)
+    salt = (u & 1).astype(dtype)
     sp_on = (noise_type == 0).astype(dtype)[:, None, None]
     sel_eff = (sel * sp_on)[..., None]
     x = x * (1.0 - sel_eff) + (salt[..., None] * sel_eff)
